@@ -1,0 +1,604 @@
+"""DMFB droplet-routing environment, TPU-native.
+
+A pure-functional re-design of the reference DMFB simulator
+(``env/DMFB/dmfb.py`` in the reference repo).  Behavioural parity notes cite
+reference lines; the implementation itself is array-first JAX:
+
+* The environment is a ``DMFBState`` PyTree of arrays plus a static, hashable
+  ``DMFBParams``.  ``step``/``reset``/``observe`` are pure functions intended
+  to be ``jax.vmap``-ed over a batch axis and fused under one ``jit``.
+* The reference's *order-dependent* sequential droplet moves
+  (dmfb.py:279-283 — each droplet's move is validated against the already
+  updated positions of earlier droplets, with an interleaved RNG draw per
+  moving droplet) are preserved with a ``lax.fori_loop`` over the N (<= ~10)
+  droplets; everything around that tiny loop is vectorized.
+* Per-droplet move-success draws are an explicit ``uniforms`` argument to
+  ``step_core`` so tests can inject a recorded stream and lock-step the
+  reference simulator draw-for-draw (the reference itself is wall-clock
+  seeded, dmfb.py:154).
+
+Coordinate convention matches the reference: the board is indexed
+``[x][y]`` with shape ``(width, length)``; ``pos[i] = (x_i, y_i)``.
+Actions (dmfb.py:26-31): STALL=0, RIGHT=1 (x+1), LEFT=2 (x-1), DOWN=3 (y-1),
+UP=4 (y+1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Action encoding (reference dmfb.py:26-31, 103-124).
+STALL, RIGHT, LEFT, DOWN, UP = 0, 1, 2, 3, 4
+# Per-action (dx, dy); row index = action id.
+_ACTION_DELTAS = jnp.array(
+    [[0, 0], [1, 0], [-1, 0], [0, -1], [0, 1]], dtype=jnp.int32
+)
+
+N_ACTIONS = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class DMFBParams:
+    """Static environment configuration (hashable; closed over by jit)."""
+
+    width: int = 10
+    length: int = 10
+    n_droplets: int = 4
+    n_blocks: int = 0
+    fov: int = 9
+    stall: bool = True
+    b_degrade: bool = False
+    per_degrade: float = 0.1
+    obs_version: str = "v0"  # "v0" (3-layer int8) or "v0.1" (4-layer float)
+
+    def __post_init__(self):
+        # Validation mirrors reference dmfb.py:139-146, 487-489.
+        if self.fov > min(self.width, self.length):
+            raise RuntimeError("Fov is too large")
+        droplet_limit = int((self.width + 1) * (self.length + 1) / 9)
+        if self.n_droplets > droplet_limit:
+            raise TypeError("Too many droplets for DMFB")
+        if self.width < 5 or self.length < 5:
+            raise ValueError("board must be at least 5x5")
+        if self.fov % 2 != 1:
+            raise ValueError("fov must be odd")
+
+    @property
+    def max_step(self) -> int:
+        # reference dmfb.py:508
+        return (self.width + self.length) * 2
+
+    @property
+    def episode_limit(self) -> int:
+        return self.max_step
+
+    @property
+    def obs_dim(self) -> int:
+        n_layers = 4 if self.obs_version == "v0.1" else 3
+        return n_layers * self.fov * self.fov + 2
+
+    @property
+    def obs_shape(self) -> Tuple[int, ...]:
+        # (channels, fov, fov, vector length, flattened size) — the tuple
+        # layout downstream code indexes, reference dmfb.py:638.
+        n_layers = 4 if self.obs_version == "v0.1" else 3
+        return (n_layers, self.fov, self.fov, 2, self.obs_dim)
+
+    @property
+    def state_dim(self) -> int:
+        # Flattened global observation, for the QMIX mixer
+        # (reference dmfb.py:368-392 / 637 — commented out there, enabled here).
+        return 3 * self.width * self.length
+
+    def env_info(self) -> dict:
+        return {
+            "n_actions": N_ACTIONS,
+            "n_agents": self.n_droplets,
+            "obs_shape": self.obs_shape,
+            "state_shape": self.state_dim,
+            "episode_limit": self.episode_limit,
+        }
+
+
+class DMFBState(NamedTuple):
+    """Per-environment dynamic state (a PyTree of arrays, batch-free)."""
+
+    pos: jax.Array        # (N, 2) int32 — droplet (x, y)
+    start: jax.Array      # (N, 2) int32 — task start cells
+    goal: jax.Array       # (N, 2) int32 — task goal cells
+    dist: jax.Array       # (N,)  int32 — Manhattan distance to goal
+    block_mask: jax.Array  # (W, L) bool — obstacle cells
+    health: jax.Array     # (W, L) f32 — per-electrode move-success prob
+    usage: jax.Array      # (W, L) f32 — actuation counter since last decay
+    degrade: jax.Array    # (W, L) f32 — per-cell decay factor
+    step_count: jax.Array  # () int32 — steps taken this episode
+    cum_constraints: jax.Array  # () int32 — constraint violations this episode
+    key: jax.Array        # PRNG key
+
+
+class StepOutput(NamedTuple):
+    obs: jax.Array          # (N, obs_dim) — per-agent observation
+    rewards: jax.Array      # (N,) f32 — per-agent rewards
+    team_reward: jax.Array  # () f32 — mean over agents (rollout.py:33)
+    dones: jax.Array        # (N,) bool — per-agent done flags
+    terminated: jax.Array   # () bool — all agents done (rollout.py:34)
+    constraints: jax.Array  # () int32 — violations this step
+    success: jax.Array     # () int32 — 1 iff all routed, 0 cumulative
+                            # violations, within step limit (dmfb.py:577-580)
+
+
+# ---------------------------------------------------------------------------
+# Task generation
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_sq_dist(points: jax.Array) -> jax.Array:
+    diff = points[:, None, :] - points[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
+    """Rejection-sample 2N cells with pairwise squared distance > 2.
+
+    Mirrors reference dmfb.py:207-226: resample the WHOLE set until the
+    minimum off-diagonal squared distance exceeds 2.  Implemented as a
+    ``lax.while_loop`` so it stays on device with static shapes.
+    """
+    n2 = 2 * params.n_droplets
+    big = jnp.int32(10 ** 9)
+
+    def draw(key):
+        kx, ky = jax.random.split(key)
+        x = jax.random.randint(kx, (n2, 1), 0, params.width, dtype=jnp.int32)
+        y = jax.random.randint(ky, (n2, 1), 0, params.length, dtype=jnp.int32)
+        return jnp.concatenate([x, y], axis=1)
+
+    def min_offdiag(pts):
+        d = _pairwise_sq_dist(pts)
+        d = d + jnp.eye(n2, dtype=jnp.int32) * big
+        return jnp.min(d)
+
+    def cond(carry):
+        _, pts = carry
+        return min_offdiag(pts) <= 2
+
+    def body(carry):
+        key, _ = carry
+        key, sub = jax.random.split(key)
+        return key, draw(sub)
+
+    key, sub = jax.random.split(key)
+    _, pts = lax.while_loop(cond, body, (key, draw(sub)))
+    return pts
+
+
+def generate_blocks(
+    params: DMFBParams, key: jax.Array, starts: jax.Array, ends: jax.Array
+) -> jax.Array:
+    """Generate ``n_blocks`` non-overlapping 2x2 obstacle blocks as a mask.
+
+    Mirrors reference dmfb.py:228-251: each block spans (x..x+1, y..y+1) with
+    x in [0, width-3), y in [0, length-3); rejected while it contains any
+    start/end cell or overlaps an existing block.  Returns a (W, L) bool mask.
+    """
+    mask = jnp.zeros((params.width, params.length), dtype=bool)
+    if params.n_blocks == 0:
+        return mask
+    # Density guard, reference dmfb.py:232-234.
+    if params.n_blocks * 4 / (params.width * params.length) > 0.2:
+        return mask
+
+    pts = jnp.concatenate([starts, ends], axis=0)  # (2N, 2)
+
+    def block_bad(x, y, mask):
+        # contains a start/end cell? (Block.isPointInside, dmfb.py:47-54)
+        inside = (
+            (pts[:, 0] >= x) & (pts[:, 0] <= x + 1)
+            & (pts[:, 1] >= y) & (pts[:, 1] <= y + 1)
+        )
+        # overlaps an existing block? (filled 2x2 rects overlap iff they
+        # share a cell, Block.isBlockOverlap dmfb.py:56-69)
+        cells = lax.dynamic_slice(
+            jnp.pad(mask, ((0, 2), (0, 2))), (x, y), (2, 2)
+        )
+        return jnp.any(inside) | jnp.any(cells)
+
+    def gen_one(key, mask):
+        def cond(carry):
+            key, x, y = carry
+            return block_bad(x, y, mask)
+
+        def body(carry):
+            key, _, _ = carry
+            key, kx, ky = jax.random.split(key, 3)
+            x = jax.random.randint(kx, (), 0, params.width - 3, dtype=jnp.int32)
+            y = jax.random.randint(ky, (), 0, params.length - 3, dtype=jnp.int32)
+            return key, x, y
+
+        key, kx, ky = jax.random.split(key, 3)
+        x0 = jax.random.randint(kx, (), 0, params.width - 3, dtype=jnp.int32)
+        y0 = jax.random.randint(ky, (), 0, params.length - 3, dtype=jnp.int32)
+        _, x, y = lax.while_loop(cond, body, (key, x0, y0))
+        patch = lax.dynamic_update_slice(
+            jnp.pad(jnp.zeros_like(mask), ((0, 2), (0, 2))),
+            jnp.ones((2, 2), dtype=bool),
+            (x, y),
+        )[: params.width, : params.length]
+        return mask | patch
+
+    keys = jax.random.split(key, params.n_blocks)
+    for k in range(params.n_blocks):  # static, tiny
+        mask = gen_one(keys[k], mask)
+    return mask
+
+
+def random_degrade_map(params: DMFBParams, key: jax.Array) -> jax.Array:
+    """Per-cell decay factors (reference ``_random_health_statue``,
+    dmfb.py:157-166): uniform in [0.6, 1.0], reset to 1.0 for cells selected
+    healthy with probability ``1 - per_degrade``."""
+    if not params.b_degrade:
+        return jnp.ones((params.width, params.length), dtype=jnp.float32)
+    k1, k2 = jax.random.split(key)
+    m = jax.random.uniform(k1, (params.width, params.length)) * 0.4 + 0.6
+    sel = jax.random.uniform(k2, (params.width, params.length))
+    return jnp.where(sel < 1.0 - params.per_degrade, 1.0, m).astype(jnp.float32)
+
+
+def _new_task(params: DMFBParams, key: jax.Array):
+    k1, k2 = jax.random.split(key)
+    pts = generate_start_end(params, k1)
+    starts = pts[: params.n_droplets]
+    ends = pts[params.n_droplets :]
+    block_mask = generate_blocks(params, k2, starts, ends)
+    dist = jnp.sum(jnp.abs(starts - ends), axis=1).astype(jnp.int32)
+    return starts, ends, dist, block_mask
+
+
+def init(params: DMFBParams, key: jax.Array) -> DMFBState:
+    """Fresh environment: new task, full health (reference ctor,
+    dmfb.py:127-155)."""
+    key, k_task, k_deg = jax.random.split(key, 3)
+    starts, ends, dist, block_mask = _new_task(params, k_task)
+    w, l = params.width, params.length
+    return DMFBState(
+        pos=starts,
+        start=starts,
+        goal=ends,
+        dist=dist,
+        block_mask=block_mask,
+        health=jnp.ones((w, l), dtype=jnp.float32),
+        usage=jnp.zeros((w, l), dtype=jnp.float32),
+        degrade=random_degrade_map(params, k_deg),
+        step_count=jnp.int32(0),
+        cum_constraints=jnp.int32(0),
+        key=key,
+    )
+
+
+def update_health(state: DMFBState) -> DMFBState:
+    """Decay cells whose usage exceeded 50 actuations
+    (reference ``updateHealth``, dmfb.py:465-471)."""
+    worn = state.usage > 50.0
+    return state._replace(
+        health=jnp.where(worn, state.health * state.degrade, state.health),
+        usage=jnp.where(worn, 0.0, state.usage),
+    )
+
+
+def reset(params: DMFBParams, state: DMFBState, new: bool = False) -> DMFBState:
+    """New random task; degradation maps persist unless ``new``
+    (reference ``refresh``, dmfb.py:174-183; env.reset dmfb.py:589-597)."""
+    key, k_task, k_deg = jax.random.split(state.key, 3)
+    starts, ends, dist, block_mask = _new_task(params, k_task)
+    state = state._replace(
+        pos=starts,
+        start=starts,
+        goal=ends,
+        dist=dist,
+        block_mask=block_mask,
+        step_count=jnp.int32(0),
+        cum_constraints=jnp.int32(0),
+        key=key,
+    )
+    if new:
+        w, l = params.width, params.length
+        return state._replace(
+            health=jnp.ones((w, l), dtype=jnp.float32),
+            usage=jnp.zeros((w, l), dtype=jnp.float32),
+            degrade=random_degrade_map(params, k_deg),
+        )
+    return update_health(state)
+
+
+def restart(params: DMFBParams, state: DMFBState) -> DMFBState:
+    """Same task from the start (reference ``restartforall`` dmfb.py:185-190
+    + env.restart dmfb.py:599-605)."""
+    dist = jnp.sum(jnp.abs(state.start - state.goal), axis=1).astype(jnp.int32)
+    return state._replace(
+        pos=state.start,
+        dist=dist,
+        step_count=jnp.int32(0),
+        cum_constraints=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------------
+
+
+def _move_droplets(
+    params: DMFBParams,
+    pos: jax.Array,
+    dist: jax.Array,
+    goal: jax.Array,
+    block_mask: jax.Array,
+    health: jax.Array,
+    actions: jax.Array,
+    uniforms: jax.Array,
+):
+    """Sequential per-droplet moves (reference ``moveOneDroplet``,
+    dmfb.py:325-359) under ``lax.fori_loop`` — order is semantic: droplet i's
+    overlap check sees droplets 0..i-1 already moved."""
+    n = params.n_droplets
+    agent_idx = jnp.arange(n)
+
+    def body(i, carry):
+        pos, dist, rewards = carry
+        old = pos[i]
+        d_old = dist[i]
+        already = jnp.bool_(params.stall) & (d_old == 0)
+        # Move gated by electrode health at the CURRENT cell (dmfb.py:334-336,
+        # 361-363); the RNG draw only "counts" when not `already` — uniforms
+        # for `already` droplets are ignored, matching the reference's lazy
+        # draw order (tests inject streams accordingly).
+        prob = health[old[0], old[1]]
+        moved = (~already) & (uniforms[i] <= prob)
+        cand = jnp.clip(
+            old + _ACTION_DELTAS[actions[i]],
+            jnp.zeros((2,), jnp.int32),
+            jnp.array([params.width - 1, params.length - 1], jnp.int32),
+        )
+        # Revert if touching a block (dmfb.py:338-340).
+        cand = jnp.where(block_mask[cand[0], cand[1]], old, cand)
+        # Revert on exact overlap with any other droplet (dmfb.py:341-343;
+        # `_isinvalidaction` checks all pairs, but only droplet i moved and
+        # positions are overlap-free by invariant, so this reduces to
+        # "someone else already occupies cand").
+        occupied = jnp.any(jnp.all(pos == cand[None, :], axis=1) & (agent_idx != i))
+        cand = jnp.where(occupied, old, cand)
+        new = jnp.where(moved, cand, old)
+        pos = pos.at[i].set(new)
+        d_new = jnp.sum(jnp.abs(new - goal[i]))
+        # Reward table, exact elif chain of dmfb.py:344-354.
+        r = jnp.where(
+            (d_new == d_old) & (d_old == 0),
+            -0.1,
+            jnp.where(
+                (d_new == d_old) & (actions[i] == STALL),
+                -0.25,
+                jnp.where(d_new < d_old, -0.1, -0.4),
+            ),
+        )
+        rewards = rewards.at[i].set(jnp.where(already, 0.0, r))
+        dist = dist.at[i].set(jnp.where(already, d_old, d_new))
+        return pos, dist, rewards
+
+    rewards0 = jnp.zeros((n,), dtype=jnp.float32)
+    new_pos, new_dist, rewards = lax.fori_loop(
+        0, n, body, (pos, dist, rewards0)
+    )
+    return new_pos, new_dist, rewards
+
+
+def _conflicts(pasts: jax.Array, curs: jax.Array):
+    """Static + dynamic fluidic-constraint counts (reference
+    ``comflic_static``/``comflic_dynamic``, dmfb.py:254-271), vectorized as
+    (N, N) pairwise masks."""
+    n = curs.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+
+    def sq(a, b):
+        d = a[:, None, :] - b[None, :, :]
+        return jnp.sum(d * d, axis=-1)
+
+    # static: unordered pairs with ||cur_i - cur_j|| < 2 add 1 to BOTH.
+    close_cc = (sq(curs, curs) < 4) & ~eye
+    sta = jnp.sum(close_cc, axis=1).astype(jnp.int32)
+    # dynamic: ORDERED pairs (i, j), i != j, with ||past_i - cur_j|| < 2 add 1
+    # to both i and j (dmfb.py:263-271 — each satisfying ordered pair double
+    # increments, so a symmetric violation contributes 2 to each droplet).
+    close_pc = (sq(pasts, curs) < 4) & ~eye
+    dy = (jnp.sum(close_pc, axis=1) + jnp.sum(close_pc, axis=0)).astype(jnp.int32)
+    return sta, dy
+
+
+def step_core(
+    params: DMFBParams,
+    state: DMFBState,
+    actions: jax.Array,
+    uniforms: jax.Array,
+) -> Tuple[DMFBState, StepOutput]:
+    """One environment transition with injected move-success draws.
+
+    Mirrors ``DMFBenv.step`` (dmfb.py:560-587) + ``moveDroplets``
+    (dmfb.py:253-299) exactly; see module docstring for the RNG contract.
+    """
+    actions = actions.astype(jnp.int32)
+    dones_pre = state.dist == 0  # dmfb.py:278 — status BEFORE moving
+    pasts = state.pos
+    new_pos, new_dist, rewards = _move_droplets(
+        params,
+        state.pos,
+        state.dist,
+        state.goal,
+        state.block_mask,
+        state.health,
+        actions,
+        uniforms,
+    )
+    sta, dy = _conflicts(pasts, new_pos)
+    constraints = jnp.sum(sta) + jnp.sum(dy)
+    rewards = rewards - 2.0 * sta - 2.0 * dy
+    if params.stall:
+        # droplets already routed before this step get 0 (dmfb.py:289-292)
+        rewards = jnp.where(dones_pre, 0.0, rewards)
+    all_done = jnp.all(new_dist == 0)
+    bonus = jnp.where(
+        all_done, jnp.where(constraints == 0, 20.0, 10.0), 0.0
+    )  # dmfb.py:293-296
+    rewards = rewards + bonus
+
+    step_count = state.step_count + 1
+    # addUsage (dmfb.py:459-463): not-yet-done droplets wear their cell.
+    not_done = new_dist != 0
+    usage = state.usage.at[new_pos[:, 0], new_pos[:, 1]].add(
+        not_done.astype(jnp.float32)
+    )
+    cum_constraints = state.cum_constraints + constraints
+
+    within_limit = step_count < params.max_step
+    success = jnp.where(
+        within_limit & all_done & (cum_constraints == 0), 1, 0
+    ).astype(jnp.int32)
+    dones = jnp.where(within_limit, new_dist == 0, True)
+
+    state = state._replace(
+        pos=new_pos,
+        dist=new_dist,
+        usage=usage,
+        step_count=step_count,
+        cum_constraints=cum_constraints,
+    )
+    obs = observe(params, state)
+    out = StepOutput(
+        obs=obs,
+        rewards=rewards.astype(jnp.float32),
+        team_reward=jnp.mean(rewards).astype(jnp.float32),
+        dones=dones,
+        terminated=jnp.all(dones),
+        constraints=constraints.astype(jnp.int32),
+        success=success,
+    )
+    return state, out
+
+
+def step(
+    params: DMFBParams, state: DMFBState, actions: jax.Array
+) -> Tuple[DMFBState, StepOutput]:
+    """One transition with internally drawn move-success uniforms."""
+    key, sub = jax.random.split(state.key)
+    uniforms = jax.random.uniform(sub, (params.n_droplets,))
+    state = state._replace(key=key)
+    return step_core(params, state, actions, uniforms)
+
+
+# ---------------------------------------------------------------------------
+# Observation
+# ---------------------------------------------------------------------------
+
+
+def _boundary_overlay(params: DMFBParams, layer, cx, cy):
+    """Paint out-of-board FOV rows/cols as walls (dmfb.py:427-439).
+
+    Equivalent closed form: FOV cell (r, c) is a wall row/col iff its
+    absolute coordinate falls outside the board.
+    """
+    fov, hf = params.fov, params.fov // 2
+    rows = jnp.arange(fov)
+    abs_x = cx - hf + rows
+    abs_y = cy - hf + rows
+    row_bad = (abs_x < 0) | (abs_x > params.width - 1)
+    col_bad = (abs_y < 0) | (abs_y > params.length - 1)
+    bad = row_bad[:, None] | col_bad[None, :]
+    return jnp.where(bad, jnp.ones_like(layer), layer)
+
+
+def _zoom_dir(params: DMFBParams, d, extent):
+    """Direction-vector zoom for goals outside the FOV (dmfb.py:441-453):
+    exact offset inside the FOV, else rescaled toward a 10x10 range.
+    jnp.round is round-half-even, matching Python's round()."""
+    hf = params.fov // 2
+    scale = (extent - hf) / (10 - hf)
+    pos_z = jnp.round((d - hf) / scale).astype(jnp.int32) + hf
+    neg_z = jnp.round((d + hf) / scale).astype(jnp.int32) - hf
+    return jnp.where(
+        jnp.abs(d) > hf, jnp.where(d > 0, pos_z, neg_z), d
+    )
+
+
+def _observe_one_v0(params: DMFBParams, state: DMFBState, i, board_ids):
+    """3-layer int8 FOV observation + int8 direction vector
+    (reference ``RoutingTaskManager.getOneObs``, dmfb.py:394-457)."""
+    fov, hf = params.fov, params.fov // 2
+    n = params.n_droplets
+    cx, cy = state.pos[i, 0], state.pos[i, 1]
+
+    # Layer 0 — droplet ids: FOV crop of the id board (dmfb.py:409-413).
+    padded = jnp.pad(board_ids, ((hf, hf), (hf, hf)))
+    layer0 = lax.dynamic_slice(padded, (cx, cy), (fov, fov))
+
+    # Layer 1 — other droplets' goals, clipped into the FOV, for droplets
+    # currently visible in the FOV (dmfb.py:415-420).  Written in ascending
+    # j order; later writes overwrite.
+    rows = jnp.arange(fov)
+    layer1 = jnp.zeros((fov, fov), dtype=jnp.int8)
+    for j in range(n):  # static unroll, tiny
+        visible = (
+            (j != i)
+            & (jnp.abs(state.pos[j, 0] - cx) <= hf)
+            & (jnp.abs(state.pos[j, 1] - cy) <= hf)
+        )
+        gx = jnp.clip(state.goal[j, 0] - (cx - hf), 0, fov - 1)
+        gy = jnp.clip(state.goal[j, 1] - (cy - hf), 0, fov - 1)
+        cell = (rows[:, None] == gx) & (rows[None, :] == gy)
+        layer1 = jnp.where(visible & cell, jnp.int8(j + 1), layer1)
+
+    # Layer 2 — blocks at ABSOLUTE board coords [0, fov) (dmfb.py:421-426 do
+    # not shift by the FOV origin — a reference quirk kept for parity), then
+    # boundary walls overwrite rows/cols (dmfb.py:427-439).
+    layer2 = state.block_mask[:fov, :fov].astype(jnp.int8)
+    layer2 = _boundary_overlay(params, layer2, cx, cy)
+
+    drx = _zoom_dir(params, state.goal[i, 0] - cx, params.width)
+    dry = _zoom_dir(params, state.goal[i, 1] - cy, params.length)
+    direction = jnp.stack([drx, dry]).astype(jnp.int8)
+
+    pixel = jnp.stack([layer0, layer1, layer2]).astype(jnp.int8)
+    return jnp.concatenate([pixel.reshape(-1), direction])
+
+
+def observe(params: DMFBParams, state: DMFBState) -> jax.Array:
+    """Per-agent observations, shape (N, obs_dim)."""
+    n = params.n_droplets
+    board_ids = jnp.zeros((params.width, params.length), dtype=jnp.int8)
+    board_ids = board_ids.at[state.pos[:, 0], state.pos[:, 1]].set(
+        jnp.arange(1, n + 1, dtype=jnp.int8)
+    )
+    if params.obs_version == "v0.1":
+        from marl_dmfb_tpu.envs.dmfb_v01 import observe_one_v01
+
+        fn = lambda i: observe_one_v01(params, state, i, board_ids)
+    else:
+        fn = lambda i: _observe_one_v0(params, state, i, board_ids)
+    return jax.vmap(fn)(jnp.arange(n))
+
+
+def global_state(params: DMFBParams, state: DMFBState) -> jax.Array:
+    """Flattened 3xWxL global observation (reference ``getglobalobs``,
+    dmfb.py:368-392) — droplet ids, goal ids, blocks.  Used as the QMIX
+    mixer state (the reference wires QMIX but never emits a state;
+    here it is first-class)."""
+    w, l = params.width, params.length
+    n = params.n_droplets
+    ids = jnp.arange(1, n + 1, dtype=jnp.float32)
+    l0 = jnp.zeros((w, l), jnp.float32).at[state.pos[:, 0], state.pos[:, 1]].set(ids)
+    l1 = jnp.zeros((w, l), jnp.float32).at[state.goal[:, 0], state.goal[:, 1]].set(ids)
+    l2 = state.block_mask.astype(jnp.float32)
+    return jnp.stack([l0, l1, l2]).reshape(-1)

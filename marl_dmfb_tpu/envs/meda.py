@@ -1,0 +1,579 @@
+"""MEDA fine-grained array environment, TPU-native.
+
+Pure-functional re-design of the reference MEDA simulator
+(``env/MEDA/meda.py``).  Key semantic differences from DMFB preserved here:
+
+* droplets are square bodies of radius ``r=2`` (5x5 microelectrode cells),
+  moving 3 cells straight / 2 cells diagonal per step (meda.py:106-138);
+* 9 actions: N,E,S,W,NE,SE,SW,NW,STALL (meda.py:23-32);
+* no hard collision revert — instead a −0.6 proximity *punishment* per
+  too-close pair per droplet (meda.py:321-330), accumulated into ``fails``;
+* a droplet within ``goal_dist`` of its destination SNAPS onto it and its
+  ``status`` flag latches (meda.py:272-277);
+* move-success probability is the MEAN electrode health under the droplet's
+  footprint (meda.py:302-309);
+* the health/usage boards are indexed ``[y][x]`` with shape
+  ``(width, length)`` — x is the column/length axis (meda.py:302-309).
+
+All droplet-pair geometry uses squared integer center distances: every
+reference comparison (snap, reward, punish, too-close) is a threshold on a
+Euclidean distance of integer centers, so comparing squared ints is exact
+(no float sqrt needed on the hot path).
+
+The per-droplet sequential move order with interleaved RNG draws
+(meda.py:241-259) is preserved via ``lax.fori_loop``; ``uniforms`` are an
+explicit argument to ``step_core`` for draw-for-draw differential testing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from marl_dmfb_tpu.envs.dmfb import StepOutput  # shared output structure
+
+N_ACTIONS = 9
+RADIUS = 2  # reference meda.py:150 (self.r = 2) -> 5x5-cell droplets
+
+# Per-action (dx, dy): N,E,S,W step 3; diagonals step 2 (meda.py:106-130,
+# where move() hardcodes r=3 and diagonals shift r-1).
+_ACTION_DELTAS = jnp.array(
+    [
+        [0, -3],   # N
+        [3, 0],    # E
+        [0, 3],    # S
+        [-3, 0],   # W
+        [2, -2],   # NE
+        [2, 2],    # SE
+        [-2, 2],   # SW
+        [-2, -2],  # NW
+        [0, 0],    # STALL
+    ],
+    dtype=jnp.int32,
+)
+
+# Squared-distance thresholds (see module docstring).
+GOAL_DIST = 2 * RADIUS  # droplet.radius + dest.radius (meda.py:272)
+SQ_GOAL = GOAL_DIST * GOAL_DIST            # snap when sq_dist < 16
+SQ_PUNISH = int((1.5 * GOAL_DIST) ** 2)    # punish when sq_dist < 36
+SQ_TOO_CLOSE = int((1.5 * (2 * RADIUS + 2)) ** 2)  # task-gen spacing: 81
+
+
+@dataclasses.dataclass(frozen=True)
+class MEDAParams:
+    """Static environment configuration."""
+
+    width: int = 30    # y extent (rows)
+    length: int = 60   # x extent (cols)
+    n_droplets: int = 4
+    fov: int = 19
+    stall: bool = True           # unused by MEDA dynamics (parity: ctor arg only)
+    b_degrade: bool = False
+    per_degrade: float = 0.1
+    obs_version: str = "v0"      # "v0" | "v0.1" (4-layer f32) | "v0.2" (3-layer int8)
+
+    def __post_init__(self):
+        n_limit = int(self.width / 15) * int(self.length / 15)
+        if self.n_droplets > n_limit:  # reference meda.py:151-154
+            raise RuntimeError(
+                "Too many droplets in the %dx%d MEDA array" % (self.width, self.length)
+            )
+        if self.fov % 2 != 1:
+            raise ValueError("fov must be odd")
+
+    @property
+    def max_step(self) -> int:
+        return self.width + self.length  # reference meda.py:492
+
+    @property
+    def episode_limit(self) -> int:
+        return self.max_step
+
+    @property
+    def n_layers(self) -> int:
+        return 3 if self.obs_version == "v0.2" else 4
+
+    @property
+    def obs_dim(self) -> int:
+        return self.n_layers * self.fov * self.fov + 2
+
+    @property
+    def obs_shape(self) -> Tuple[int, ...]:
+        # Normalized to the DMFB tuple layout (channels, fov, fov, vec, flat)
+        # — the reference's MEDA get_env_info returns a bare scalar
+        # (meda.py:679) which breaks its own training path; fixed here.
+        return (self.n_layers, self.fov, self.fov, 2, self.obs_dim)
+
+    @property
+    def state_dim(self) -> int:
+        return 2 * self.width * self.length
+
+    def env_info(self) -> dict:
+        return {
+            "n_actions": N_ACTIONS,
+            "n_agents": self.n_droplets,
+            "obs_shape": self.obs_shape,
+            "state_shape": self.state_dim,
+            "episode_limit": self.episode_limit,
+        }
+
+
+class MEDAState(NamedTuple):
+    center: jax.Array   # (N, 2) int32 — droplet body center (x, y)
+    start: jax.Array    # (N, 2) int32 — start centers
+    dest: jax.Array     # (N, 2) int32 — destination centers
+    sq_dist: jax.Array  # (N,) int32 — squared center distance to dest
+    status: jax.Array   # (N,) bool — latched "snapped onto goal" flags
+    health: jax.Array   # (W, L) f32, indexed [y][x]
+    usage: jax.Array    # (W, L) f32
+    degrade: jax.Array  # (W, L) f32
+    step_count: jax.Array       # () int32
+    fails_count: jax.Array  # () int32 — cumulative too-close incidences; the
+                            # reference's float `fails` equals -0.6 * this
+    key: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Task generation
+# ---------------------------------------------------------------------------
+
+
+def _rand_center(params: MEDAParams, key: jax.Array) -> jax.Array:
+    """Random legal body center (reference getRandomYX, meda.py:224-227:
+    y in [r, width-r-1], x in [r, length-r-1], both inclusive)."""
+    kx, ky = jax.random.split(key)
+    x = jax.random.randint(kx, (), RADIUS, params.length - RADIUS, dtype=jnp.int32)
+    y = jax.random.randint(ky, (), RADIUS, params.width - RADIUS, dtype=jnp.int32)
+    return jnp.stack([x, y])
+
+
+def _sq(a: jax.Array, b: jax.Array) -> jax.Array:
+    d = a - b
+    return jnp.sum(d * d, axis=-1)
+
+
+def _gen_centers(params: MEDAParams, key: jax.Array) -> jax.Array:
+    """Sequentially generate N centers, each rejected while too close
+    (squared center distance < 81) to any earlier one
+    (reference _genLegalDroplet/_isGoodDroplet, meda.py:213-233)."""
+    n = params.n_droplets
+    centers = jnp.zeros((n, 2), dtype=jnp.int32)
+    for i in range(n):  # static unroll; rejection per droplet
+        def bad(c, centers=centers, i=i):
+            if i == 0:
+                return jnp.bool_(False)
+            sq = _sq(centers[:i], c[None, :])
+            return jnp.any(sq < SQ_TOO_CLOSE)
+
+        def cond(carry):
+            _, c = carry
+            return bad(c)
+
+        def body(carry):
+            key, _ = carry
+            key, sub = jax.random.split(key)
+            return key, _rand_center(params, sub)
+
+        key, sub = jax.random.split(key)
+        _, c = lax.while_loop(cond, body, (key, _rand_center(params, sub)))
+        key, _ = jax.random.split(key)
+        centers = centers.at[i].set(c)
+    return centers
+
+
+def _gen_dests(params: MEDAParams, key: jax.Array, droplets: jax.Array) -> jax.Array:
+    """Destinations: too-close rejection vs earlier destinations PLUS
+    body-overlap rejection vs the droplet's own start
+    (reference addTask, meda.py:175-185: overlap iff |dx|<=2r and |dy|<=2r)."""
+    n = params.n_droplets
+    dests = jnp.zeros((n, 2), dtype=jnp.int32)
+    for i in range(n):
+        def bad(c, dests=dests, i=i):
+            overlap = jnp.all(jnp.abs(c - droplets[i]) <= 2 * RADIUS)
+            if i == 0:
+                return overlap
+            sq = _sq(dests[:i], c[None, :])
+            return overlap | jnp.any(sq < SQ_TOO_CLOSE)
+
+        def cond(carry):
+            _, c = carry
+            return bad(c)
+
+        def body(carry):
+            key, _ = carry
+            key, sub = jax.random.split(key)
+            return key, _rand_center(params, sub)
+
+        key, sub = jax.random.split(key)
+        _, c = lax.while_loop(cond, body, (key, _rand_center(params, sub)))
+        key, _ = jax.random.split(key)
+        dests = dests.at[i].set(c)
+    return dests
+
+
+def _new_task(params: MEDAParams, key: jax.Array):
+    k1, k2 = jax.random.split(key)
+    starts = _gen_centers(params, k1)
+    dests = _gen_dests(params, k2, starts)
+    sq_dist = _sq(starts, dests).astype(jnp.int32)
+    return starts, dests, sq_dist
+
+
+def random_degrade_map(params: MEDAParams, key: jax.Array) -> jax.Array:
+    """Same recipe as DMFB (reference meda.py:497-504)."""
+    if not params.b_degrade:
+        return jnp.ones((params.width, params.length), dtype=jnp.float32)
+    k1, k2 = jax.random.split(key)
+    m = jax.random.uniform(k1, (params.width, params.length)) * 0.4 + 0.6
+    sel = jax.random.uniform(k2, (params.width, params.length))
+    return jnp.where(sel < 1.0 - params.per_degrade, 1.0, m).astype(jnp.float32)
+
+
+def init(params: MEDAParams, key: jax.Array) -> MEDAState:
+    key, k_task, k_deg = jax.random.split(key, 3)
+    starts, dests, sq_dist = _new_task(params, k_task)
+    w, l = params.width, params.length
+    return MEDAState(
+        center=starts,
+        start=starts,
+        dest=dests,
+        sq_dist=sq_dist,
+        status=jnp.zeros((params.n_droplets,), dtype=bool),
+        health=jnp.ones((w, l), dtype=jnp.float32),
+        usage=jnp.zeros((w, l), dtype=jnp.float32),
+        degrade=random_degrade_map(params, k_deg),
+        step_count=jnp.int32(0),
+        fails_count=jnp.int32(0),
+        key=key,
+    )
+
+
+def update_health(params: MEDAParams, state: MEDAState) -> MEDAState:
+    """Reference meda.py:600-605 — a no-op unless b_degrade."""
+    if not params.b_degrade:
+        return state
+    worn = state.usage > 50.0
+    return state._replace(
+        health=jnp.where(worn, state.health * state.degrade, state.health),
+        usage=jnp.where(worn, 0.0, state.usage),
+    )
+
+
+def reset(params: MEDAParams, state: MEDAState, new: bool = False) -> MEDAState:
+    """New task; wear persists and decays on reset (meda.py:541-550)."""
+    key, k_task = jax.random.split(state.key)
+    starts, dests, sq_dist = _new_task(params, k_task)
+    state = state._replace(
+        center=starts,
+        start=starts,
+        dest=dests,
+        sq_dist=sq_dist,
+        status=jnp.zeros((params.n_droplets,), dtype=bool),
+        step_count=jnp.int32(0),
+        fails_count=jnp.int32(0),
+        key=key,
+    )
+    return update_health(params, state)
+
+
+def restart(params: MEDAParams, state: MEDAState) -> MEDAState:
+    """Same task from the start (meda.py:170-173, 552-561)."""
+    return state._replace(
+        center=state.start,
+        sq_dist=_sq(state.start, state.dest).astype(jnp.int32),
+        status=jnp.zeros((params.n_droplets,), dtype=bool),
+        step_count=jnp.int32(0),
+        fails_count=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------------
+
+
+def _footprint_mean_health(params: MEDAParams, health: jax.Array, c: jax.Array):
+    """Mean health under the (2r+1)^2 footprint (meda.py:302-309);
+    board indexed [y][x]."""
+    k = 2 * RADIUS + 1
+    patch = lax.dynamic_slice(
+        health, (c[1] - RADIUS, c[0] - RADIUS), (k, k)
+    )
+    return jnp.mean(patch)
+
+
+def _move_droplets(
+    params: MEDAParams,
+    center: jax.Array,
+    sq_dist: jax.Array,
+    dest: jax.Array,
+    status: jax.Array,
+    health: jax.Array,
+    actions: jax.Array,
+    uniforms: jax.Array,
+):
+    """Sequential per-droplet moves (meda.py:241-292)."""
+    n = params.n_droplets
+    lo = jnp.array([RADIUS, RADIUS], jnp.int32)
+    hi = jnp.array([params.length - 1 - RADIUS, params.width - 1 - RADIUS], jnp.int32)
+
+    def body(i, carry):
+        center, sq_dist, status, rewards = carry
+        done = status[i]
+        snap = (~done) & (sq_dist[i] < SQ_GOAL)  # meda.py:272-277
+        # Stochastic move only when neither done nor snapping.
+        prob = _footprint_mean_health(params, health, center[i])
+        moved = (~done) & (~snap) & (uniforms[i] <= prob)
+        cand = jnp.clip(center[i] + _ACTION_DELTAS[actions[i]], lo, hi)
+        new_c = jnp.where(snap, dest[i], jnp.where(moved, cand, center[i]))
+        sq_new = _sq(new_c, dest[i])
+        # Reward table (meda.py:283-291), on squared distances (exact).
+        r = jnp.where(
+            sq_new < SQ_GOAL,
+            0.0,
+            jnp.where(
+                (sq_new == sq_dist[i]) & (actions[i] == 8),
+                -0.2,
+                jnp.where(sq_new < sq_dist[i], -0.08, -0.4),
+            ),
+        )
+        rewards = rewards.at[i].set(
+            jnp.where(done, 0.0, jnp.where(snap, 0.0, r))
+        )
+        sq_dist = sq_dist.at[i].set(
+            jnp.where(done, sq_dist[i], jnp.where(snap, 0, sq_new))
+        )
+        center = center.at[i].set(jnp.where(done, center[i], new_c))
+        status = status.at[i].set(done | snap)
+        return center, sq_dist, status, rewards
+
+    rewards0 = jnp.zeros((n,), dtype=jnp.float32)
+    return lax.fori_loop(0, n, body, (center, sq_dist, status, rewards0))
+
+
+def _punish(center: jax.Array):
+    """−0.6 per too-close unordered pair, per droplet (meda.py:321-330).
+    Returns (per-droplet punish f32, total incidence count i32)."""
+    n = center.shape[0]
+    sq = jnp.sum(
+        (center[:, None, :] - center[None, :, :]) ** 2, axis=-1
+    )
+    close = (sq < SQ_PUNISH) & ~jnp.eye(n, dtype=bool)
+    per_droplet = jnp.sum(close, axis=1).astype(jnp.int32)
+    return -0.6 * per_droplet.astype(jnp.float32), jnp.sum(per_droplet)
+
+
+def step_core(
+    params: MEDAParams,
+    state: MEDAState,
+    actions: jax.Array,
+    uniforms: jax.Array,
+) -> Tuple[MEDAState, StepOutput]:
+    """One transition (reference MEDAEnv.step, meda.py:513-539)."""
+    actions = actions.astype(jnp.int32)
+    center, sq_dist, status, rewards = _move_droplets(
+        params, state.center, state.sq_dist, state.dest, state.status,
+        state.health, actions, uniforms,
+    )
+    punish, n_close = _punish(center)
+    # reference 'fail' is the float punish sum (== -0.6 * n_close); tracked
+    # here as an exact integer incidence count so `fails == 0` checks don't
+    # depend on float accumulation.
+    rewards = rewards + punish
+    fails_count = state.fails_count + n_close
+    all_done = jnp.all(status)
+    bonus = jnp.where(all_done, jnp.where(fails_count == 0, 6.0, 3.0), 0.0)
+    rewards = rewards + bonus
+
+    step_count = state.step_count + 1
+    within = step_count < params.max_step
+    success = jnp.where(within & all_done & (fails_count == 0), 1, 0).astype(jnp.int32)
+    dones = jnp.where(within, status, True)
+
+    # addUsage only while within the step limit (meda.py:529-534,591-598):
+    # each not-done droplet wears its whole footprint.
+    k = 2 * RADIUS + 1
+    wear = jnp.zeros_like(state.usage)
+    patch = jnp.ones((k, k), dtype=jnp.float32)
+    for i in range(params.n_droplets):  # static unroll
+        add = lax.dynamic_update_slice(
+            jnp.zeros_like(wear), patch,
+            (center[i, 1] - RADIUS, center[i, 0] - RADIUS),
+        )
+        wear = wear + add * (~dones[i]).astype(jnp.float32)
+    usage = state.usage + wear * within.astype(jnp.float32)
+
+    state = state._replace(
+        center=center,
+        sq_dist=sq_dist,
+        status=status,
+        usage=usage,
+        step_count=step_count,
+        fails_count=fails_count,
+    )
+    obs = observe(params, state)
+    # The reference reports the (float, <=0) punish sum as info['constraints']
+    # (meda.py:538); StepOutput.constraints is an int32 count across envs, so
+    # report the number of too-close droplet incidences this step instead
+    # (zero iff the reference value is zero).
+    out = StepOutput(
+        obs=obs,
+        rewards=rewards.astype(jnp.float32),
+        team_reward=jnp.mean(rewards).astype(jnp.float32),
+        dones=dones,
+        terminated=jnp.all(dones),
+        constraints=n_close,
+        success=success,
+    )
+    return state, out
+
+
+def step(params: MEDAParams, state: MEDAState, actions: jax.Array):
+    key, sub = jax.random.split(state.key)
+    uniforms = jax.random.uniform(sub, (params.n_droplets,))
+    state = state._replace(key=key)
+    return step_core(params, state, actions, uniforms)
+
+
+# ---------------------------------------------------------------------------
+# Observation
+# ---------------------------------------------------------------------------
+
+
+def _rect_on_canvas(fov, row_lo, row_hi, col_lo, col_hi):
+    """Bool mask of canvas cells inside [row_lo,row_hi]x[col_lo,col_hi]."""
+    rows = jnp.arange(fov)
+    rmask = (rows >= row_lo) & (rows <= row_hi)
+    cmask = (rows >= col_lo) & (rows <= col_hi)
+    return rmask[:, None] & cmask[None, :]
+
+
+def _paint_footprint(params, canvas, c, ox, oy, idx, clip_border):
+    """Paint a body footprint (id = idx+1) onto the [row=y][col=x] canvas.
+
+    clip_border=False: only the in-FOV part is painted (meda.py:631-658).
+    clip_border=True: footprint cells are np.clip-projected onto the border
+    (meda.py:659-671) — the image of the rect is the rect of clipped corners.
+    """
+    fov = params.fov
+    row_lo = c[1] - RADIUS - oy
+    row_hi = c[1] + RADIUS - oy
+    col_lo = c[0] - RADIUS - ox
+    col_hi = c[0] + RADIUS - ox
+    if clip_border:
+        row_lo = jnp.clip(row_lo, 0, fov - 1)
+        row_hi = jnp.clip(row_hi, 0, fov - 1)
+        col_lo = jnp.clip(col_lo, 0, fov - 1)
+        col_hi = jnp.clip(col_hi, 0, fov - 1)
+    mask = _rect_on_canvas(fov, row_lo, row_hi, col_lo, col_hi)
+    return jnp.where(mask, jnp.full_like(canvas, idx + 1), canvas)
+
+
+def _in_fov(c, ox, oy, fov):
+    """Does the body rect intersect the FOV window?"""
+    return (
+        (c[0] + RADIUS >= ox) & (c[0] - RADIUS <= ox + fov - 1)
+        & (c[1] + RADIUS >= oy) & (c[1] - RADIUS <= oy + fov - 1)
+    )
+
+
+def _boundary_layer(params: MEDAParams, cx, cy):
+    """Boundary wall bars (meda.py:829-841): rows keyed by center_x vs
+    *width*, cols by center_y vs *length* — the reference's literal formula,
+    kept for parity."""
+    fov, hf = params.fov, params.fov // 2
+    rows = jnp.arange(fov)
+    abs_r = cx - hf + rows
+    abs_c = cy - hf + rows
+    row_bad = (abs_r < 0) | (abs_r > params.width - 1)
+    col_bad = (abs_c < 0) | (abs_c > params.length - 1)
+    return (row_bad[:, None] | col_bad[None, :])
+
+
+def _observe_one(params: MEDAParams, state: MEDAState, i):
+    fov, hf = params.fov, params.fov // 2
+    n = params.n_droplets
+    cx, cy = state.center[i, 0], state.center[i, 1]
+    ox, oy = cx - hf, cy - hf
+    f32 = jnp.float32
+    z = jnp.zeros((fov, fov), dtype=f32)
+
+    if params.obs_version == "v0":
+        # meda.py:613-674: own droplet, own goal, others, others' goals(clip)
+        l0 = _paint_footprint(params, z, state.center[i], ox, oy, i, False)
+        l1 = _paint_footprint(params, z, state.dest[i], ox, oy, i, False)
+        l2 = z
+        for j in range(n):
+            lj = _paint_footprint(params, l2, state.center[j], ox, oy, j, False)
+            l2 = jnp.where(j != i, lj, l2)
+        l3 = z
+        for j in range(n):
+            lj = _paint_footprint(params, l3, state.dest[j], ox, oy, j, True)
+            l3 = jnp.where(j != i, lj, l3)
+        direction = jnp.stack(
+            [state.dest[i, 0] - cx, state.dest[i, 1] - cy]
+        ).astype(f32)
+        pixel = jnp.stack([l0, l1, l2, l3])
+        return jnp.concatenate([pixel.reshape(-1), direction])
+
+    # v0.1 / v0.2 share the "observed" visibility rule (meda.py:800-808).
+    l_drops = z
+    observed = []
+    for j in range(n):
+        vis = _in_fov(state.center[j], ox, oy, fov)
+        observed.append(vis)
+        lj = _paint_footprint(params, l_drops, state.center[j], ox, oy, j, False)
+        l_drops = jnp.where(vis, lj, l_drops)
+    l_goals = z
+    for j in range(n):
+        lj = _paint_footprint(params, l_goals, state.dest[j], ox, oy, j, True)
+        l_goals = jnp.where((j != i) & observed[j], lj, l_goals)
+    l_bound = _boundary_layer(params, cx, cy).astype(f32)
+
+    if params.obs_version == "v0.1":
+        l_own_goal = _paint_footprint(params, z, state.dest[i], ox, oy, i, False)
+        direction = jnp.stack(
+            [
+                (state.dest[i, 1] - cy) / params.width,
+                (state.dest[i, 0] - cx) / params.length,
+            ]
+        ).astype(f32)
+        pixel = jnp.stack([l_drops, l_own_goal, l_goals, l_bound])
+        return jnp.concatenate([pixel.reshape(-1), direction])
+
+    # v0.2 (meda.py:846-897): 3 int8 layers + int direction zoomed to 30x30.
+    dy = jnp.round((state.dest[i, 1] - cy) / (params.width / 30.0)).astype(jnp.int8)
+    dx = jnp.round((state.dest[i, 0] - cx) / (params.length / 30.0)).astype(jnp.int8)
+    pixel = jnp.stack([l_drops, l_goals, l_bound]).astype(jnp.int8)
+    return jnp.concatenate([pixel.reshape(-1), jnp.stack([dy, dx])])
+
+
+def observe(params: MEDAParams, state: MEDAState) -> jax.Array:
+    return jax.vmap(lambda i: _observe_one(params, state, i))(
+        jnp.arange(params.n_droplets)
+    )
+
+
+def global_state(params: MEDAParams, state: MEDAState) -> jax.Array:
+    """Global footprint boards (droplet ids, destination ids) flattened —
+    the QMIX mixer state (new capability; the reference has none for MEDA)."""
+    w, l = params.width, params.length
+    z = jnp.zeros((w, l), dtype=jnp.float32)
+    rows = jnp.arange(w)
+    cols = jnp.arange(l)
+
+    def paint(canvas, c, idx):
+        rmask = jnp.abs(rows - c[1]) <= RADIUS
+        cmask = jnp.abs(cols - c[0]) <= RADIUS
+        mask = rmask[:, None] & cmask[None, :]
+        return jnp.where(mask, jnp.float32(idx + 1), canvas)
+
+    drops, dests = z, z
+    for i in range(params.n_droplets):
+        drops = paint(drops, state.center[i], i)
+        dests = paint(dests, state.dest[i], i)
+    return jnp.stack([drops, dests]).reshape(-1)
