@@ -1,0 +1,68 @@
+"""Throughput benchmark: full actor loop (obs -> CRNN forward -> eps-greedy
+-> env step) on DMFB 10x10, 4 droplets, fov 9 — the BASELINE.json headline
+config.  Prints ONE JSON line.
+
+The reference never recorded throughput (SURVEY §6); BASELINE.json's
+north-star target is >= 1e6 env-steps/s per host on this config, which is
+used as the baseline denominator.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from marl_dmfb_tpu.algos.qlearn import make_learner
+    from marl_dmfb_tpu.config import Args, make_env_from_args
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+
+    args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
+                n_parallel_envs=B)
+    args.apply_env_defaults()
+    args.load_yaml()
+    env = make_env_from_args(args)
+    args.update_env_info(env.env_info())
+
+    init, _, net = make_learner(args, env)
+    lstate = init(jax.random.PRNGKey(0))
+    from marl_dmfb_tpu.rollout import make_rollout
+
+    rollout = make_rollout(env, net, args.rnn_hidden_dim)
+    states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
+
+    def run(states, key):
+        return rollout(lstate.params["agent"], states, key,
+                       jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                       greedy=False)
+
+    # warmup/compile
+    res = run(states, jax.random.PRNGKey(2))
+    jax.block_until_ready(res.episodes["r"])
+    states = res.env_states
+
+    T = env.episode_limit
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        res = run(states, jax.random.PRNGKey(3 + i))
+        states = res.env_states
+    jax.block_until_ready(res.episodes["r"])
+    dt = time.perf_counter() - t0
+
+    env_steps = B * T * iters  # lockstep steps x batch
+    sps = env_steps / dt
+    print(json.dumps({
+        "metric": "actor_env_steps_per_sec",
+        "value": round(sps),
+        "unit": "env-steps/s",
+        "vs_baseline": round(sps / 1e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

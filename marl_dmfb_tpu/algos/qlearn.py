@@ -1,0 +1,178 @@
+"""Episode-batch TD learner for VDN and QMIX.
+
+Re-design of the reference's ``policy/vdn.py``/``policy/qmix.py``: the whole
+learn step — eval/target GRU unrolls over the episode time axis, chosen-Q
+gather, masked target max, mixing, masked TD loss, Adam with global-norm
+clip, cadenced hard target sync — is ONE jitted pure function over a
+``LearnerState`` PyTree.  BPTT is a ``lax.scan`` over time (the reference
+unrolls a Python loop of GRUCell calls with per-step host->GPU copies,
+vdn.py:167-196).
+
+Loss parity notes:
+* eval-stream input at t is ``o_next[t-1]`` for t>0 and ``o[0]`` at t=0,
+  with the previous action's onehot (vdn.py:134-165);
+* target-stream input at t is ``(o_next[t], u_onehot[t])`` (vdn.py:175-184);
+* target Qs with unavailable actions get -9999999 before the max
+  (vdn.py:109-110);
+* loss = sum((mask * td)^2) / sum(mask) (vdn.py:118-122) — the reference's
+  truncation of the batch to ``max_episode_len`` (agent/agent.py:63-70) is
+  unnecessary under this masking (identical loss value) and would retrigger
+  XLA compilation per length, so episodes keep the full static T;
+* Adam betas (0.9, 0.99) (vdn.py:67-68), grads clipped by global norm
+  BEFORE Adam like torch's clip_grad_norm_ + step (vdn.py:124-128);
+* hard target sync every ``target_update_cycle`` learn steps, skipping step
+  0 (vdn.py:130-132).
+
+QMIX uses the state-conditioned monotonic mixer on the (new, first-class)
+global state tensors ``s``/``s_next``; the reference wires QMIX but never
+collects a state, so it crashes as shipped (SURVEY §2.2) — here it trains.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from marl_dmfb_tpu.models.networks import QMixer, build_agent_net, vdn_mix
+
+
+class LearnerState(NamedTuple):
+    params: dict            # {"agent": ..., "mixer": ... or None}
+    target_params: dict
+    opt_state: optax.OptState
+    train_step: jax.Array   # () int32
+
+
+def make_optimizer(args) -> optax.GradientTransformation:
+    """Optimizer choice per config (vdn.py:61-70)."""
+    clip = optax.clip_by_global_norm(args.grad_norm_clip)
+    if args.optimizer == "RMS":
+        opt = optax.rmsprop(args.lr)
+    elif args.optimizer == "SGD":
+        opt = optax.sgd(args.lr)
+    else:  # ADAM / ASGD both map to Adam in the reference
+        opt = optax.adam(args.lr, b1=0.9, b2=0.99)
+    return optax.chain(clip, opt)
+
+
+def make_learner(args, env):
+    """Build (init_fn, learn_fn) for args.alg in {vdn, qmix}."""
+    net = build_agent_net(args)
+    use_qmix = args.alg == "qmix"
+    mixer = (
+        QMixer(
+            n_agents=args.n_agents,
+            state_dim=args.state_shape,
+            qmix_hidden=args.qmix_hidden_dim,
+            hyper_hidden=args.hyper_hidden_dim,
+            two_hyper_layers=args.two_hyper_layers,
+        )
+        if use_qmix
+        else None
+    )
+    N, A, H = args.n_agents, args.n_actions, args.rnn_hidden_dim
+    obs_dim = args.obs_shape[-1]
+    in_dim = obs_dim + (A if args.last_action else 0)
+    opt = make_optimizer(args)
+
+    def init(key) -> LearnerState:
+        k1, k2 = jax.random.split(key)
+        dummy_x = jnp.zeros((1, in_dim))
+        dummy_h = jnp.zeros((1, H))
+        agent_params = net.init(k1, dummy_x, dummy_h)["params"]
+        params = {"agent": agent_params}
+        if use_qmix:
+            dummy_q = jnp.zeros((1, 1, N))
+            dummy_s = jnp.zeros((1, 1, args.state_shape))
+            params["mixer"] = mixer.init(k2, dummy_q, dummy_s)["params"]
+        target_params = jax.tree.map(lambda x: x, params)
+        return LearnerState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt.init(params),
+            train_step=jnp.int32(0),
+        )
+
+    def unroll(agent_params, inputs):
+        """GRU unroll over time: inputs (b, T, N, in_dim) -> q (b, T, N, A)."""
+        b, T = inputs.shape[0], inputs.shape[1]
+
+        def cell(h, x_t):
+            q, h2 = net.apply({"params": agent_params}, x_t, h)
+            return h2, q
+
+        x_tb = inputs.transpose(1, 0, 2, 3).reshape(T, b * N, -1)
+        h0 = jnp.zeros((b * N, H), jnp.float32)
+        _, q_t = jax.lax.scan(cell, h0, x_tb)
+        return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
+
+    def build_inputs(batch):
+        o = batch["o"].astype(jnp.float32)
+        o_next = batch["o_next"].astype(jnp.float32)
+        u_onehot = batch["u_onehot"].astype(jnp.float32)
+        b = o.shape[0]
+        # eval: (o[0], zeros) then (o_next[t-1], u_onehot[t-1])
+        eval_obs = jnp.concatenate([o[:, :1], o_next[:, :-1]], axis=1)
+        prev_u = jnp.concatenate(
+            [jnp.zeros_like(u_onehot[:, :1]), u_onehot[:, :-1]], axis=1
+        )
+        if args.last_action:
+            eval_in = jnp.concatenate([eval_obs, prev_u], axis=-1)
+            tgt_in = jnp.concatenate([o_next, u_onehot], axis=-1)
+        else:
+            eval_in, tgt_in = eval_obs, o_next
+        return eval_in, tgt_in
+
+    def loss_fn(params, target_params, batch):
+        eval_in, tgt_in = build_inputs(batch)
+        u = batch["u"].astype(jnp.int32)                     # (b,T,N,1)
+        r = batch["r"].astype(jnp.float32)                   # (b,T,1)
+        avail_next = batch["avail_u_next"].astype(jnp.float32)
+        terminated = batch["terminated"].astype(jnp.float32)
+        mask = 1.0 - batch["padded"].astype(jnp.float32)     # (b,T,1)
+
+        q_evals = unroll(params["agent"], eval_in)
+        q_targets = unroll(target_params["agent"], tgt_in)
+        q_e = jnp.take_along_axis(q_evals, u, axis=3).squeeze(3)   # (b,T,N)
+        q_t = jnp.where(avail_next == 0.0, -9999999.0, q_targets).max(axis=3)
+
+        if use_qmix:
+            q_tot_e = mixer.apply({"params": params["mixer"]}, q_e, batch["s"])
+            q_tot_t = mixer.apply(
+                {"params": target_params["mixer"]}, q_t, batch["s_next"]
+            )
+        else:
+            q_tot_e = vdn_mix(q_e)
+            q_tot_t = vdn_mix(q_t)
+
+        targets = r + args.gamma * q_tot_t * (1.0 - terminated)
+        td = (jax.lax.stop_gradient(targets) - q_tot_e) * mask
+        return jnp.sum(td ** 2) / jnp.sum(mask)
+
+    @jax.jit
+    def learn(state: LearnerState, batch: dict):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, state.target_params, batch
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        train_step = state.train_step + 1
+        sync = (train_step % args.target_update_cycle == 0) & (train_step > 0)
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params, params
+        )
+        return (
+            LearnerState(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                train_step=train_step,
+            ),
+            loss,
+        )
+
+    return init, learn, net

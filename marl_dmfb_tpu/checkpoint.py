@@ -1,0 +1,37 @@
+"""Full-state checkpointing (Orbax).
+
+The reference pickles model weights only (policy/vdn.py:205-218) — optimizer
+state, epsilon, step counters and PRNG are lost on resume (SURVEY §5).
+Here a checkpoint is the complete training state PyTree, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save(path: str, tree: Any) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
+
+
+def restore(path: str, like: Any = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if like is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, item=like)
+
+
+def latest_step_dir(root: str, prefix: str) -> str | None:
+    if not os.path.isdir(root):
+        return None
+    cands = [d for d in os.listdir(root) if d.startswith(prefix)]
+    if not cands:
+        return None
+    return os.path.join(root, sorted(cands)[-1])

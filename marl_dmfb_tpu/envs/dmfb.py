@@ -96,6 +96,12 @@ class DMFBParams:
         # (reference dmfb.py:368-392 / 637 — commented out there, enabled here).
         return 3 * self.width * self.length
 
+    @property
+    def obs_dtype(self):
+        import jax.numpy as _jnp
+
+        return _jnp.int8 if self.obs_version == "v0" else _jnp.float32
+
     def env_info(self) -> dict:
         return {
             "n_actions": N_ACTIONS,

@@ -112,6 +112,12 @@ class MEDAParams:
     def state_dim(self) -> int:
         return 2 * self.width * self.length
 
+    @property
+    def obs_dtype(self):
+        import jax.numpy as _jnp
+
+        return _jnp.int8 if self.obs_version == "v0.2" else _jnp.float32
+
     def env_info(self) -> dict:
         return {
             "n_actions": N_ACTIONS,

@@ -1,0 +1,177 @@
+"""On-device episode rollout: the whole actor loop (obs -> net -> action ->
+env step) fused in one jitted ``lax.scan`` over time, batched over B envs.
+
+Re-design of the reference's per-step Python loop
+(``common/rollout.py:101-150``), which crossed the host/device boundary
+twice per agent per step (agent.py:36-38).  Here a rollout of B envs x T
+steps is a single XLA program; B is the parallelism axis to shard over a
+mesh.
+
+Episode semantics preserved:
+
+* episodes run to ``terminated`` then are frozen; remaining steps are stored
+  zeroed with ``padded=1``/``terminated=1`` (rollout.py:131-141);
+* team reward is the mean over agents (rollout.py:33), terminated is
+  all-agents (rollout.py:34), availability masks are all-ones
+  (rollout.py:22);
+* epsilon anneals per env step within the scan and the final value is
+  returned for the trainer to carry across rollouts (rollout.py:113-115,
+  126-127, 146);
+* metrics: failed episodes count as ``episode_limit`` steps
+  (rollout.py:147-149).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from marl_dmfb_tpu.envs.registry import Env
+
+
+class RolloutResult(NamedTuple):
+    episodes: dict          # each (B, T, ...) — replay-buffer layout
+    env_states: object      # batched env state PyTree (post-episode)
+    epsilon: jax.Array      # () f32 — annealed epsilon after this rollout
+    # per-episode metrics, each (B,)
+    reward: jax.Array
+    steps: jax.Array
+    constraints: jax.Array
+    success: jax.Array
+
+
+def _tree_where(cond_b: jax.Array, a, b):
+    def sel(x, y):
+        c = cond_b.reshape(cond_b.shape + (1,) * (x.ndim - 1))
+        return jnp.where(c, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+def make_rollout(
+    env: Env,
+    net,
+    rnn_hidden: int,
+    with_state: bool = False,
+    reset_new: bool = False,
+):
+    """Build ``rollout(theta, env_states, key, epsilon, anneal, min_eps,
+    greedy)`` — a pure function suitable for ``jax.jit`` (greedy is static)."""
+    N, A, T = env.n_agents, env.n_actions, env.episode_limit
+
+    def net_forward(theta, obs, last_oh, h):
+        B = obs.shape[0]
+        x = jnp.concatenate(
+            [obs.astype(jnp.float32), last_oh], axis=-1
+        ).reshape(B * N, -1)
+        q, h2 = net.apply({"params": theta}, x, h.reshape(B * N, rnn_hidden))
+        return q.reshape(B, N, A), h2.reshape(B, N, rnn_hidden)
+
+    @functools.partial(jax.jit, static_argnames=("greedy",))
+    def rollout(
+        theta,
+        env_states,
+        key: jax.Array,
+        epsilon: jax.Array,
+        anneal_per_step: jax.Array,
+        min_epsilon: jax.Array,
+        greedy: bool = False,
+    ) -> RolloutResult:
+        env_states = jax.vmap(lambda s: env.reset(s, new=reset_new))(env_states)
+        obs0 = jax.vmap(env.observe)(env_states)
+        B = obs0.shape[0]
+
+        def step_fn(carry, _):
+            states, obs, last_oh, h, live, eps, k = carry
+            k, k_rand, k_expl = jax.random.split(k, 3)
+            q, h2 = net_forward(theta, obs, last_oh, h)
+            greedy_a = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            if greedy:
+                a = greedy_a
+            else:
+                rand_a = jax.random.randint(k_rand, (B, N), 0, A, jnp.int32)
+                explore = jax.random.uniform(k_expl, (B, N)) < eps
+                a = jnp.where(explore, rand_a, greedy_a)
+            if with_state:
+                s_t = jax.vmap(env.global_state)(states)
+            new_states, out = jax.vmap(env.step)(states, a)
+            states2 = _tree_where(live, new_states, states)
+
+            onehot = jax.nn.one_hot(a, A, dtype=jnp.float32)
+            lv = live
+            lv3 = lv[:, None, None]
+            trans = {
+                "o": jnp.where(lv3, obs, 0),
+                "u": jnp.where(lv3, a[..., None], 0),
+                "r": jnp.where(lv, out.team_reward, 0.0)[:, None],
+                "o_next": jnp.where(lv3, out.obs, 0),
+                "avail_u": jnp.where(lv3, jnp.ones((B, N, A), jnp.int8), 0),
+                "avail_u_next": jnp.where(lv3, jnp.ones((B, N, A), jnp.int8), 0),
+                "u_onehot": jnp.where(lv3, onehot, 0),
+                "padded": (~lv)[:, None],
+                "terminated": jnp.where(lv, out.terminated, True)[:, None],
+            }
+            if with_state:
+                s_next = jax.vmap(env.global_state)(new_states)
+                trans["s"] = jnp.where(lv[:, None], s_t, 0.0)
+                trans["s_next"] = jnp.where(lv[:, None], s_next, 0.0)
+
+            metrics = (
+                jnp.where(lv, out.team_reward, 0.0),
+                lv.astype(jnp.int32),
+                jnp.where(lv, out.constraints, 0),
+                jnp.where(lv, out.success, 0),
+            )
+            live_next = live & ~out.terminated
+            eps_next = eps if greedy else jnp.maximum(
+                min_epsilon, eps - anneal_per_step
+            )
+            new_obs = jnp.where(lv3, out.obs, obs)
+            new_last = jnp.where(lv3, onehot, last_oh)
+            return (
+                (states2, new_obs, new_last, h2, live_next, eps_next, k),
+                (trans, metrics),
+            )
+
+        h0 = jnp.zeros((B, N, rnn_hidden), jnp.float32)
+        last0 = jnp.zeros((B, N, A), jnp.float32)
+        live0 = jnp.ones((B,), bool)
+        carry0 = (env_states, obs0, last0, h0, live0, epsilon, key)
+        (states_f, _, _, _, _, eps_f, _), (trans_t, metrics_t) = jax.lax.scan(
+            step_fn, carry0, None, length=T
+        )
+        # (T, B, ...) -> (B, T, ...)
+        episodes = {
+            k: jnp.moveaxis(v, 0, 1) for k, v in trans_t.items()
+        }
+        rew_t, live_t, cons_t, succ_t = metrics_t
+        reward = jnp.sum(rew_t, axis=0)
+        exec_steps = jnp.sum(live_t, axis=0)
+        success = (jnp.sum(succ_t, axis=0) > 0).astype(jnp.int32)
+        steps = jnp.where(success == 1, exec_steps, T)  # rollout.py:147-149
+        constraints = jnp.sum(cons_t, axis=0)
+        return RolloutResult(
+            episodes=episodes,
+            env_states=states_f,
+            epsilon=eps_f,
+            reward=reward,
+            steps=steps.astype(jnp.int32),
+            constraints=constraints.astype(jnp.int32),
+            success=success,
+        )
+
+    return rollout
+
+
+def summarize_eval(result: RolloutResult) -> dict:
+    """Average the per-episode metrics the way the reference's
+    ``Evaluator.evaluate`` does (rollout.py:69-85)."""
+    return {
+        "reward": float(jnp.mean(result.reward)),
+        "steps": float(jnp.mean(result.steps.astype(jnp.float32))),
+        "constraints": float(jnp.mean(result.constraints.astype(jnp.float32))),
+        "success_rate": float(jnp.mean(result.success.astype(jnp.float32))),
+    }

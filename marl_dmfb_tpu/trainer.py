@@ -1,0 +1,304 @@
+"""Training driver: rollout -> replay -> learn loop with periodic
+evaluation, checkpointing and metric curves.
+
+Re-design of the reference ``train.py``'s Trainer: the same experiment
+protocol (train until ``n_steps`` env steps, evaluate + checkpoint every
+``evaluate_cycle`` steps, metrics npy/plots with the same filenames) driven
+by jitted device-resident pieces:
+
+* ``make_rollout`` collects B episodes per call in one fused scan;
+* episodes are ring-written into the device replay buffer;
+* ``learn`` runs gradient steps on uniformly sampled episode minibatches.
+
+Vectorization bookkeeping vs the reference (single env, ``n_episodes=2``
+sequential episodes per cycle, ``train_time`` updates per cycle,
+train.py:59-78):
+
+* B = ``args.rollout_batch`` episodes are collected per rollout;
+* gradient updates per rollout are scaled to keep the reference's
+  updates-per-collected-episode ratio: ``train_time * B / n_episodes``;
+* epsilon anneals per *env step* across the whole batch (B steps of
+  schedule per lockstep step), preserving the reference's
+  anneal-over-``anneal_steps``-env-steps shape (rollout.py:113-115);
+* the env-step budget counts failed episodes as ``episode_limit`` steps,
+  exactly like the reference's accounting (train.py:63-65 with
+  rollout.py:147-149).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marl_dmfb_tpu import checkpoint as ckpt
+from marl_dmfb_tpu import replay as replay_lib
+from marl_dmfb_tpu.algos.qlearn import make_learner
+from marl_dmfb_tpu.config import Args
+from marl_dmfb_tpu.envs.registry import Env
+from marl_dmfb_tpu.rollout import make_rollout, summarize_eval
+
+
+def model_state_path(args: Args, tag) -> str:
+    model_dir = os.path.join(
+        args.data_dir, args.model_dir.lstrip("./"), args.alg, f"fov{args.fov}"
+    )
+    return os.path.join(model_dir, f"{args.ith_run}_{tag}_state")
+
+
+def restore_net_config(args: Args, tag) -> Args:
+    """Read the net hyperparameters out of a saved checkpoint so a model
+    trained under any YAML evaluates correctly.  (The reference always
+    loads the 4-droplet YAML at evaluation time, arguments.py:130, which
+    breaks loading models trained with other net dims — fixed here since
+    checkpoints are self-describing.)"""
+    path = model_state_path(args, tag)
+    tree = ckpt.restore(path)
+    for k, v in tree.get("net_config", {}).items():
+        setattr(args, k, int(v) if not isinstance(v, str) else v)
+    return args
+
+
+class Trainer:
+    def __init__(self, env: Env, args: Args, mesh=None):
+        self.env = env
+        self.args = args
+        self.mesh = mesh
+        args.update_env_info(env.env_info())
+
+        self.use_state = args.alg == "qmix"
+        self.init_learner, self.learn, self.net = make_learner(args, env)
+
+        key = jax.random.PRNGKey(args.seed)
+        key, k_learn, k_envs, k_eval, self.key = jax.random.split(key, 5)
+        self.learner_state = self.init_learner(k_learn)
+
+        B = args.rollout_batch
+        self.B = B
+        self.env_states = jax.vmap(env.init)(jax.random.split(k_envs, B))
+        self.eval_states = jax.vmap(env.init)(
+            jax.random.split(k_eval, args.evaluate_task)
+        )
+        if mesh is not None:
+            from marl_dmfb_tpu.parallel.mesh import shard_batch, replicate
+
+            self.env_states = shard_batch(mesh, self.env_states)
+            self.eval_states = shard_batch(mesh, self.eval_states)
+            self.learner_state = replicate(mesh, self.learner_state)
+
+        self.rollout = make_rollout(
+            env, self.net, args.rnn_hidden_dim, with_state=self.use_state
+        )
+
+        obs_dtype = env.params.obs_dtype
+        self.replay = replay_lib.init_replay(
+            capacity=args.buffer_size,
+            episode_limit=args.episode_limit,
+            n_agents=args.n_agents,
+            obs_dim=args.obs_shape[-1],
+            n_actions=args.n_actions,
+            obs_dtype=obs_dtype,
+            state_dim=args.state_shape if self.use_state else None,
+        )
+
+        self.epsilon = jnp.float32(args.epsilon)
+        if args.epsilon_anneal_scale == "step":
+            self.anneal_per_step = jnp.float32(
+                (args.epsilon - args.min_epsilon) / args.anneal_steps * B
+            )
+        else:
+            self.anneal_per_step = jnp.float32(0.0)
+        self.updates_per_rollout = max(
+            1, round(args.train_time * B / args.n_episodes)
+        )
+
+        # metric curves (train.py:21-25)
+        self.episode_rewards = []
+        self.episode_steps = []
+        self.episode_constraints = []
+        self.success_rate = []
+        self.time_cost = []
+
+        self.save_path = os.path.join(
+            args.data_dir, args.result_dir.lstrip("./"),
+            args.alg, f"fov{args.fov}",
+            f"{args.width}by{args.length}-{args.drop_num}d{args.block_num}b",
+        )
+        self.model_dir = os.path.join(
+            args.data_dir, args.model_dir.lstrip("./"),
+            args.alg, f"fov{args.fov}",
+        )
+        os.makedirs(self.save_path, exist_ok=True)
+        os.makedirs(self.model_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def evaluate(self, n_tasks: Optional[int] = None) -> dict:
+        """Greedy evaluation over a fresh batch of random tasks
+        (reference Evaluator.evaluate, rollout.py:69-85)."""
+        result = self.rollout(
+            self.learner_state.params["agent"],
+            self.eval_states,
+            self._next_key(),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            greedy=True,
+        )
+        self.eval_states = result.env_states
+        return summarize_eval(result)
+
+    def save_model(self, tag) -> str:
+        path = os.path.join(
+            self.model_dir, f"{self.args.ith_run}_{tag}_state"
+        )
+        ckpt.save(path, {
+            "learner": self.learner_state._asdict(),
+            "epsilon": self.epsilon,
+            "key": self.key,
+            "net_config": {
+                "net": self.args.net,
+                "rnn_hidden_dim": self.args.rnn_hidden_dim,
+                "hyper_hidden_dim": self.args.hyper_hidden_dim,
+                "qmix_hidden_dim": self.args.qmix_hidden_dim,
+            },
+        })
+        return path
+
+    def load_model(self, tag):
+        path = os.path.join(
+            self.model_dir, f"{self.args.ith_run}_{tag}_state"
+        )
+        tree = ckpt.restore(path)
+        from marl_dmfb_tpu.algos.qlearn import LearnerState
+
+        self.learner_state = LearnerState(**tree["learner"])
+        self.epsilon = tree["epsilon"]
+
+    def train_cycle(self):
+        """One collect+learn cycle; returns env steps consumed."""
+        result = self.rollout(
+            self.learner_state.params["agent"],
+            self.env_states,
+            self._next_key(),
+            self.epsilon,
+            self.anneal_per_step,
+            jnp.float32(self.args.min_epsilon),
+            greedy=False,
+        )
+        self.env_states = result.env_states
+        if self.args.epsilon_anneal_scale == "episode":
+            eps = float(self.epsilon)
+            if eps > self.args.min_epsilon:
+                eps -= (self.args.epsilon - self.args.min_epsilon) / (
+                    self.args.anneal_steps
+                )
+            self.epsilon = jnp.float32(eps)
+        else:
+            self.epsilon = result.epsilon
+        self.replay = replay_lib.store(self.replay, result.episodes)
+        for _ in range(self.updates_per_rollout):
+            batch = replay_lib.sample(
+                self.replay, self._next_key(), self.args.batch_size
+            )
+            self.learner_state, self._last_loss = self.learn(
+                self.learner_state, batch
+            )
+        return int(jnp.sum(result.steps))
+
+    def run(self, online_evaluate: bool = True):
+        """Main loop (reference train.py:32-93)."""
+        args = self.args
+        time_steps, evaluate_steps = 0, -1
+        start = time.time()
+        while time_steps < args.total_env_steps:
+            if time_steps // args.evaluate_cycle > evaluate_steps:
+                evaluate_steps += 1
+                self.time_cost.append(time.time() - start)
+                self.save_model(evaluate_steps)
+                if online_evaluate:
+                    m = self.evaluate()
+                    self.episode_rewards.append(m["reward"])
+                    self.episode_steps.append(m["steps"])
+                    self.episode_constraints.append(m["constraints"])
+                    self.success_rate.append(m["success_rate"])
+                    self.plot()
+                    self.save_curves()
+                print(
+                    f"Run {args.ith_run}, time_steps {time_steps}, "
+                    f"evaluate {evaluate_steps}, "
+                    f"elapsed {self.time_cost[-1]:.1f}s"
+                    + (
+                        f", success {self.success_rate[-1]:.3f}"
+                        if online_evaluate and self.success_rate
+                        else ""
+                    ),
+                    flush=True,
+                )
+            time_steps += self.train_cycle()
+        self.save_model("final")
+        self.time_cost.append(time.time() - start)
+        if online_evaluate:
+            m = self.evaluate()
+            self.episode_rewards.append(m["reward"])
+            self.episode_steps.append(m["steps"])
+            self.episode_constraints.append(m["constraints"])
+            self.success_rate.append(m["success_rate"])
+            self.plot()
+            self.save_curves()
+        return {
+            "rewards": self.episode_rewards,
+            "steps": self.episode_steps,
+            "constraints": self.episode_constraints,
+            "success_rate": self.success_rate,
+            "runtime": self.time_cost,
+        }
+
+    # ------------------------------------------------------------------
+    def plot(self):
+        """5-panel training curves PNG (train.py:120-143)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        names = ["Rewards", "$T_{latest}$", "Constraints", "success rate",
+                 "run time"]
+        data = [self.episode_rewards, self.episode_steps,
+                self.episode_constraints, self.success_rate, self.time_cost]
+        fig, axes = plt.subplots(5, 1, figsize=(10, 10))
+        for ax, series, name in zip(axes, data, names):
+            ax.plot(series, linewidth=2)
+            ax.set_xlabel(f"evaluate times, eq {self.args.evaluate_cycle} steps")
+            ax.set_ylabel(name)
+        fig.tight_layout()
+        fig.savefig(
+            os.path.join(self.save_path, f"plt_{self.args.ith_run}.png"),
+            format="png", dpi=150,
+        )
+        plt.close(fig)
+
+    def save_curves(self):
+        """npy curve dumps with reference-compatible filenames
+        (train.py:145-158)."""
+        a = self.args
+        prefix = (
+            f"{a.alg}_env({a.width},{a.length},{a.drop_num},"
+            f"{a.block_num},{a.fov},{a.stall})"
+        )
+        num = a.ith_run
+        for name, series in [
+            (f"{prefix}Rewards_{num}", self.episode_rewards),
+            (f"{prefix}steps_{num}", self.episode_steps),
+            (f"{prefix}constraints_{num}", self.episode_constraints),
+            (f"{prefix}success_rate_{num}", self.success_rate),
+            (f"{prefix}runtime_{num}", self.time_cost),
+        ]:
+            np.save(os.path.join(self.save_path, name), np.asarray(series))

@@ -1,0 +1,5 @@
+"""Shared utilities."""
+
+from marl_dmfb_tpu.utils.platform import apply_platform_env
+
+__all__ = ["apply_platform_env"]

@@ -1,0 +1,185 @@
+"""Tests for the replay buffer, on-device rollout, and TD learner."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from marl_dmfb_tpu import replay as replay_lib
+from marl_dmfb_tpu.algos.qlearn import make_learner
+from marl_dmfb_tpu.config import Args
+from marl_dmfb_tpu.envs import make_env
+from marl_dmfb_tpu.rollout import make_rollout, summarize_eval
+
+
+def small_args(alg="vdn", **kw):
+    a = Args(name="dmfb", alg=alg, drop_num=2, fov=5, width=5, length=5,
+             batch_size=8, buffer_size=32, n_parallel_envs=4, **kw)
+    return a
+
+
+def small_env(args):
+    env = make_env("dmfb", width=args.width, length=args.length,
+                   n_droplets=args.drop_num, fov=args.fov)
+    args.update_env_info(env.env_info())
+    return env
+
+
+class TestReplay:
+    def _mk(self, capacity=5, T=3, N=2, D=4, A=5):
+        return replay_lib.init_replay(capacity, T, N, D, A)
+
+    def _episodes(self, B, T=3, N=2, D=4, A=5, fill=1):
+        return {
+            "o": jnp.full((B, T, N, D), fill, jnp.int8),
+            "u": jnp.zeros((B, T, N, 1), jnp.int8),
+            "r": jnp.full((B, T, 1), float(fill)),
+            "o_next": jnp.full((B, T, N, D), fill, jnp.int8),
+            "avail_u": jnp.ones((B, T, N, A), jnp.int8),
+            "avail_u_next": jnp.ones((B, T, N, A), jnp.int8),
+            "u_onehot": jnp.zeros((B, T, N, A), jnp.int8),
+            "padded": jnp.zeros((B, T, 1), bool),
+            "terminated": jnp.zeros((B, T, 1), bool),
+        }
+
+    def test_ring_semantics(self):
+        rb = self._mk(capacity=5)
+        rb = replay_lib.store(rb, self._episodes(3, fill=1))
+        assert int(rb.size) == 3 and int(rb.cursor) == 3
+        rb = replay_lib.store(rb, self._episodes(3, fill=2))
+        # wraps: slots 3,4 then 0
+        assert int(rb.size) == 5 and int(rb.cursor) == 1
+        o = np.array(rb.data["r"][:, 0, 0])
+        np.testing.assert_allclose(o, [2, 1, 1, 2, 2])
+
+    def test_sample_shapes(self):
+        rb = self._mk()
+        rb = replay_lib.store(rb, self._episodes(2))
+        batch = replay_lib.sample(rb, jax.random.PRNGKey(0), 4)
+        assert batch["o"].shape == (4, 3, 2, 4)
+        assert np.array(batch["r"]).min() == 1.0  # only stored episodes
+
+
+class TestRollout:
+    def setup_method(self):
+        self.args = small_args()
+        self.env = small_env(self.args)
+
+    def _rollout(self, greedy=False, seed=0):
+        from marl_dmfb_tpu.algos.qlearn import make_learner as ml
+
+        init, learn, net = ml(self.args, self.env)
+        lstate = init(jax.random.PRNGKey(seed))
+        B = self.args.rollout_batch
+        states = jax.vmap(self.env.init)(
+            jax.random.split(jax.random.PRNGKey(seed + 1), B)
+        )
+        rollout = make_rollout(self.env, net, self.args.rnn_hidden_dim)
+        res = rollout(
+            lstate.params["agent"], states, jax.random.PRNGKey(seed + 2),
+            jnp.float32(0.5), jnp.float32(0.001), jnp.float32(0.05),
+            greedy=greedy,
+        )
+        return res
+
+    def test_episode_tensor_layout(self):
+        res = self._rollout()
+        T = self.env.episode_limit
+        B = self.args.rollout_batch
+        ep = res.episodes
+        assert ep["o"].shape == (B, T, 2, self.env.params.obs_dim)
+        assert ep["o"].dtype == jnp.int8
+        # o[t+1] == o_next[t] while both steps live
+        o = np.array(ep["o"], np.int32)
+        o_next = np.array(ep["o_next"], np.int32)
+        padded = np.array(ep["padded"])[:, :, 0]
+        for b in range(B):
+            for t in range(T - 1):
+                if not padded[b, t + 1]:
+                    np.testing.assert_array_equal(o[b, t + 1], o_next[b, t])
+        # after termination: padded=1, terminated=1, zeros
+        term = np.array(ep["terminated"])[:, :, 0]
+        for b in range(B):
+            idx = np.where(term[b])[0]
+            assert len(idx) > 0
+            t_end = idx[0]
+            assert not padded[b, t_end]  # the final real step is not padded
+            if t_end + 1 < T:
+                assert padded[b, t_end + 1 :].all()
+                assert term[b, t_end + 1 :].all()
+                assert (o[b, t_end + 1 :] == 0).all()
+
+    def test_epsilon_annealing_and_metrics(self):
+        res = self._rollout()
+        T = self.env.episode_limit
+        # epsilon decremented once per scan step
+        assert float(res.epsilon) == pytest.approx(
+            max(0.05, 0.5 - 0.001 * T), abs=1e-6
+        )
+        # failed episodes count episode_limit steps
+        steps = np.array(res.steps)
+        succ = np.array(res.success)
+        assert ((steps == T) | (succ == 1)).all()
+
+    def test_greedy_deterministic_actions(self):
+        r1 = self._rollout(greedy=True, seed=5)
+        r2 = self._rollout(greedy=True, seed=5)
+        np.testing.assert_array_equal(np.array(r1.episodes["u"]),
+                                      np.array(r2.episodes["u"]))
+
+
+class TestLearner:
+    def _setup(self, alg="vdn"):
+        args = small_args(alg=alg)
+        env = small_env(args)
+        init, learn, net = make_learner(args, env)
+        lstate = init(jax.random.PRNGKey(0))
+        B = args.rollout_batch
+        states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
+        rollout = make_rollout(env, net, args.rnn_hidden_dim,
+                               with_state=(alg == "qmix"))
+        res = rollout(lstate.params["agent"], states, jax.random.PRNGKey(2),
+                      jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                      greedy=False)
+        return args, env, init, learn, lstate, res
+
+    def test_vdn_loss_decreases_on_fixed_batch(self):
+        args, env, init, learn, lstate, res = self._setup("vdn")
+        batch = {k: v for k, v in res.episodes.items()}
+        losses = []
+        for _ in range(30):
+            lstate, loss = learn(lstate, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+    def test_qmix_loss_decreases_on_fixed_batch(self):
+        args, env, init, learn, lstate, res = self._setup("qmix")
+        batch = {k: v for k, v in res.episodes.items()}
+        assert "s" in batch and batch["s"].shape[-1] == args.state_shape
+        losses = []
+        for _ in range(30):
+            lstate, loss = learn(lstate, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+    def test_target_sync_cadence(self):
+        args, env, init, learn, lstate, res = self._setup("vdn")
+        args.target_update_cycle = 3
+        init, learn, net = make_learner(args, env)
+        lstate = init(jax.random.PRNGKey(0))
+        batch = res.episodes
+
+        def flat(p):
+            return np.concatenate([np.ravel(x) for x in jax.tree.leaves(p)])
+
+        t0 = flat(lstate.target_params)
+        for i in range(1, 4):
+            lstate, _ = learn(lstate, batch)
+            t = flat(lstate.target_params)
+            if i < 3:
+                np.testing.assert_array_equal(t, t0)  # unchanged until cycle
+            else:
+                assert not np.array_equal(t, t0)  # synced at step 3
+                np.testing.assert_array_equal(t, flat(lstate.params))

@@ -1,0 +1,26 @@
+"""Train a VDN/QMIX policy on DMFB or MEDA (reference train.py CLI parity).
+
+Usage (mirrors the reference README):
+    python train.py dmfb --drop_num=4 --fov=9
+    python train.py meda --drop_num=4
+Artifacts land under data-<env>/TrainResult and data-<env>/model like the
+reference (without the os.chdir side effect).
+"""
+
+from marl_dmfb_tpu.utils import apply_platform_env
+
+apply_platform_env()
+
+from marl_dmfb_tpu.config import get_train_args, make_env_from_args
+from marl_dmfb_tpu.trainer import Trainer
+
+
+def main():
+    args = get_train_args()
+    env = make_env_from_args(args)
+    trainer = Trainer(env, args)
+    trainer.run(online_evaluate=args.online_eval)
+
+
+if __name__ == "__main__":
+    main()
