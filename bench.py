@@ -11,6 +11,10 @@ import json
 import sys
 import time
 
+from marl_dmfb_tpu.utils import apply_platform_env
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 
@@ -19,7 +23,7 @@ def main():
     from marl_dmfb_tpu.algos.qlearn import make_learner
     from marl_dmfb_tpu.config import Args, make_env_from_args
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
                 n_parallel_envs=B)

@@ -149,39 +149,43 @@ def _pairwise_sq_dist(points: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
-    """Rejection-sample 2N cells with pairwise squared distance > 2.
+_GEN_ROUNDS = 32  # P(all rounds invalid) is astronomically small; see below
 
-    Mirrors reference dmfb.py:207-226: resample the WHOLE set until the
-    minimum off-diagonal squared distance exceeds 2.  Implemented as a
-    ``lax.while_loop`` so it stays on device with static shapes.
-    """
+
+def _fallback_lattice(params: DMFBParams) -> jnp.ndarray:
+    """Deterministic valid placement (spacing 3 => sq dist >= 9 > 2), used
+    only in the ~(p_invalid)^32 event that every sampled round violates the
+    spacing constraint — keeps the generator total without a while_loop."""
+    import numpy as np
+
+    xs = np.arange(0, params.width, 3)
+    ys = np.arange(0, params.length, 3)
+    grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    need = 2 * params.n_droplets
+    assert grid.shape[0] >= need, "board too small for fallback lattice"
+    return jnp.asarray(grid[:need], jnp.int32)
+
+
+def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
+    """Sample 2N cells with pairwise squared distance > 2.
+
+    The reference rejection-samples the WHOLE set until valid
+    (dmfb.py:207-226).  TPU-native: draw a fixed number of candidate sets in
+    one shot and take the FIRST valid one — identical distribution to
+    rejection sampling, but a branch-free fixed-shape program (no
+    while_loop, no per-iteration device sync)."""
     n2 = 2 * params.n_droplets
     big = jnp.int32(10 ** 9)
-
-    def draw(key):
-        kx, ky = jax.random.split(key)
-        x = jax.random.randint(kx, (n2, 1), 0, params.width, dtype=jnp.int32)
-        y = jax.random.randint(ky, (n2, 1), 0, params.length, dtype=jnp.int32)
-        return jnp.concatenate([x, y], axis=1)
-
-    def min_offdiag(pts):
-        d = _pairwise_sq_dist(pts)
-        d = d + jnp.eye(n2, dtype=jnp.int32) * big
-        return jnp.min(d)
-
-    def cond(carry):
-        _, pts = carry
-        return min_offdiag(pts) <= 2
-
-    def body(carry):
-        key, _ = carry
-        key, sub = jax.random.split(key)
-        return key, draw(sub)
-
-    key, sub = jax.random.split(key)
-    _, pts = lax.while_loop(cond, body, (key, draw(sub)))
-    return pts
+    kx, ky = jax.random.split(key)
+    x = jax.random.randint(kx, (_GEN_ROUNDS, n2), 0, params.width, jnp.int32)
+    y = jax.random.randint(ky, (_GEN_ROUNDS, n2), 0, params.length, jnp.int32)
+    cand = jnp.stack([x, y], axis=-1)                      # (R, 2N, 2)
+    d = cand[:, :, None, :] - cand[:, None, :, :]
+    sq = jnp.sum(d * d, axis=-1) + jnp.eye(n2, dtype=jnp.int32) * big
+    valid = jnp.min(sq, axis=(1, 2)) > 2                   # (R,)
+    first = jnp.argmax(valid)
+    pts = cand[first]
+    return jnp.where(jnp.any(valid), pts, _fallback_lattice(params))
 
 
 def generate_blocks(
@@ -350,38 +354,59 @@ def _move_droplets(
     uniforms: jax.Array,
 ):
     """Sequential per-droplet moves (reference ``moveOneDroplet``,
-    dmfb.py:325-359) under ``lax.fori_loop`` — order is semantic: droplet i's
-    overlap check sees droplets 0..i-1 already moved."""
-    n = params.n_droplets
-    agent_idx = jnp.arange(n)
+    dmfb.py:325-359) — order is semantic: droplet i's overlap check sees
+    droplets 0..i-1 already moved.
 
-    def body(i, carry):
-        pos, dist, rewards = carry
-        old = pos[i]
-        d_old = dist[i]
+    TPU note: the loop is a statically unrolled Python loop over the (tiny,
+    static) droplet count, and every per-droplet read/write is a one-hot
+    select/masked-update over the droplet axis rather than a dynamic
+    slice/scatter — vmapped gathers are pathologically slow on TPU (each
+    per-step gather cost ~1ms at B=1024 in profiling; selects fuse into
+    cheap VPU ops)."""
+    n = params.n_droplets
+    lo = jnp.zeros((2,), jnp.int32)
+    hi = jnp.array([params.width - 1, params.length - 1], jnp.int32)
+    # Precomputable per-droplet quantities (independent of the loop carry);
+    # the delta lookup is a one-hot matmul, not a gather.
+    deltas = (
+        jax.nn.one_hot(actions, N_ACTIONS, dtype=jnp.float32)
+        @ _ACTION_DELTAS.astype(jnp.float32)
+    ).astype(jnp.int32)                       # (n, 2)
+    goal_ = goal
+    rewards = jnp.zeros((n,), dtype=jnp.float32)
+
+    xs = jnp.arange(params.width)
+    ys = jnp.arange(params.length)
+
+    def board_at(board, cell):
+        """board[cell] via one-hot contraction (no gather)."""
+        ox = (xs == cell[0]).astype(board.dtype)
+        oy = (ys == cell[1]).astype(board.dtype)
+        return ox @ board @ oy
+
+    for i in range(n):  # static unroll, n <= ~10
+        sel = jnp.arange(n) == i
+        old = jnp.sum(jnp.where(sel[:, None], pos, 0), axis=0)
+        d_old = jnp.sum(jnp.where(sel, dist, 0))
         already = jnp.bool_(params.stall) & (d_old == 0)
         # Move gated by electrode health at the CURRENT cell (dmfb.py:334-336,
-        # 361-363); the RNG draw only "counts" when not `already` — uniforms
-        # for `already` droplets are ignored, matching the reference's lazy
-        # draw order (tests inject streams accordingly).
-        prob = health[old[0], old[1]]
+        # 361-363); uniforms for `already` droplets are ignored, matching the
+        # reference's lazy draw order (tests inject streams accordingly).
+        prob = board_at(health, old)
         moved = (~already) & (uniforms[i] <= prob)
-        cand = jnp.clip(
-            old + _ACTION_DELTAS[actions[i]],
-            jnp.zeros((2,), jnp.int32),
-            jnp.array([params.width - 1, params.length - 1], jnp.int32),
-        )
+        cand = jnp.clip(old + deltas[i], lo, hi)
         # Revert if touching a block (dmfb.py:338-340).
-        cand = jnp.where(block_mask[cand[0], cand[1]], old, cand)
+        on_block = board_at(block_mask.astype(jnp.float32), cand) > 0.5
+        cand = jnp.where(on_block, old, cand)
         # Revert on exact overlap with any other droplet (dmfb.py:341-343;
         # `_isinvalidaction` checks all pairs, but only droplet i moved and
         # positions are overlap-free by invariant, so this reduces to
         # "someone else already occupies cand").
-        occupied = jnp.any(jnp.all(pos == cand[None, :], axis=1) & (agent_idx != i))
+        occupied = jnp.any(jnp.all(pos == cand[None, :], axis=1) & ~sel)
         cand = jnp.where(occupied, old, cand)
         new = jnp.where(moved, cand, old)
-        pos = pos.at[i].set(new)
-        d_new = jnp.sum(jnp.abs(new - goal[i]))
+        pos = jnp.where(sel[:, None], new[None, :], pos)
+        d_new = jnp.sum(jnp.abs(new - goal_[i]))
         # Reward table, exact elif chain of dmfb.py:344-354.
         r = jnp.where(
             (d_new == d_old) & (d_old == 0),
@@ -392,15 +417,9 @@ def _move_droplets(
                 jnp.where(d_new < d_old, -0.1, -0.4),
             ),
         )
-        rewards = rewards.at[i].set(jnp.where(already, 0.0, r))
-        dist = dist.at[i].set(jnp.where(already, d_old, d_new))
-        return pos, dist, rewards
-
-    rewards0 = jnp.zeros((n,), dtype=jnp.float32)
-    new_pos, new_dist, rewards = lax.fori_loop(
-        0, n, body, (pos, dist, rewards0)
-    )
-    return new_pos, new_dist, rewards
+        rewards = jnp.where(sel, jnp.where(already, 0.0, r), rewards)
+        dist = jnp.where(sel, jnp.where(already, d_old, d_new), dist)
+    return pos, dist, rewards
 
 
 def _conflicts(pasts: jax.Array, curs: jax.Array):
@@ -463,10 +482,12 @@ def step_core(
 
     step_count = state.step_count + 1
     # addUsage (dmfb.py:459-463): not-yet-done droplets wear their cell.
+    # One-hot outer products instead of a scatter (TPU: scatters serialize).
     not_done = new_dist != 0
-    usage = state.usage.at[new_pos[:, 0], new_pos[:, 1]].add(
-        not_done.astype(jnp.float32)
-    )
+    ohx = (new_pos[:, 0:1] == jnp.arange(params.width)[None, :]).astype(jnp.float32)
+    ohy = (new_pos[:, 1:2] == jnp.arange(params.length)[None, :]).astype(jnp.float32)
+    wear = jnp.einsum("nw,nl,n->wl", ohx, ohy, not_done.astype(jnp.float32))
+    usage = state.usage + wear
     cum_constraints = state.cum_constraints + constraints
 
     within_limit = step_count < params.max_step
@@ -539,32 +560,48 @@ def _zoom_dir(params: DMFBParams, d, extent):
     )
 
 
-def _observe_one_v0(params: DMFBParams, state: DMFBState, i, board_ids):
+def _observe_one_v0(params: DMFBParams, state: DMFBState, i):
     """3-layer int8 FOV observation + int8 direction vector
-    (reference ``RoutingTaskManager.getOneObs``, dmfb.py:394-457)."""
+    (reference ``RoutingTaskManager.getOneObs``, dmfb.py:394-457).
+
+    TPU note: every layer is built from comparisons/reductions — no board
+    scatter, no padded-crop gather (vmapped gathers dominate the step cost
+    on TPU)."""
     fov, hf = params.fov, params.fov // 2
     n = params.n_droplets
     cx, cy = state.pos[i, 0], state.pos[i, 1]
 
-    # Layer 0 — droplet ids: FOV crop of the id board (dmfb.py:409-413).
-    padded = jnp.pad(board_ids, ((hf, hf), (hf, hf)))
-    layer0 = lax.dynamic_slice(padded, (cx, cy), (fov, fov))
+    # Layer 0 — droplet ids in the FOV (dmfb.py:409-413): cell (r, c) holds
+    # id j+1 iff droplet j sits at absolute (cx-hf+r, cy-hf+c).  Droplet
+    # cells are unique, so the max over droplets is exact.
+    rel0x = state.pos[:, 0] - (cx - hf)          # (n,)
+    rel0y = state.pos[:, 1] - (cy - hf)
+    rows0 = jnp.arange(fov)
+    cell0 = (rows0[None, :, None] == rel0x[:, None, None]) & (
+        rows0[None, None, :] == rel0y[:, None, None]
+    )
+    ids0 = jnp.arange(1, n + 1, dtype=jnp.int8)
+    layer0 = jnp.max(cell0 * ids0[:, None, None], axis=0).astype(jnp.int8)
 
     # Layer 1 — other droplets' goals, clipped into the FOV, for droplets
-    # currently visible in the FOV (dmfb.py:415-420).  Written in ascending
-    # j order; later writes overwrite.
+    # currently visible in the FOV (dmfb.py:415-420).  The reference writes
+    # in ascending j order with overwrite; since ids ascend with j, the
+    # last-writer value equals the per-cell MAX id — one vectorized reduce
+    # instead of an unrolled scatter loop.
     rows = jnp.arange(fov)
-    layer1 = jnp.zeros((fov, fov), dtype=jnp.int8)
-    for j in range(n):  # static unroll, tiny
-        visible = (
-            (j != i)
-            & (jnp.abs(state.pos[j, 0] - cx) <= hf)
-            & (jnp.abs(state.pos[j, 1] - cy) <= hf)
-        )
-        gx = jnp.clip(state.goal[j, 0] - (cx - hf), 0, fov - 1)
-        gy = jnp.clip(state.goal[j, 1] - (cy - hf), 0, fov - 1)
-        cell = (rows[:, None] == gx) & (rows[None, :] == gy)
-        layer1 = jnp.where(visible & cell, jnp.int8(j + 1), layer1)
+    js = jnp.arange(n)
+    visible = (
+        (js != i)
+        & (jnp.abs(state.pos[:, 0] - cx) <= hf)
+        & (jnp.abs(state.pos[:, 1] - cy) <= hf)
+    )
+    gx = jnp.clip(state.goal[:, 0] - (cx - hf), 0, fov - 1)   # (n,)
+    gy = jnp.clip(state.goal[:, 1] - (cy - hf), 0, fov - 1)
+    cell = (rows[None, :, None] == gx[:, None, None]) & (
+        rows[None, None, :] == gy[:, None, None]
+    )  # (n, fov, fov)
+    ids = ((js + 1) * visible).astype(jnp.int8)
+    layer1 = jnp.max(cell * ids[:, None, None], axis=0).astype(jnp.int8)
 
     # Layer 2 — blocks at ABSOLUTE board coords [0, fov) (dmfb.py:421-426 do
     # not shift by the FOV origin — a reference quirk kept for parity), then
@@ -583,16 +620,12 @@ def _observe_one_v0(params: DMFBParams, state: DMFBState, i, board_ids):
 def observe(params: DMFBParams, state: DMFBState) -> jax.Array:
     """Per-agent observations, shape (N, obs_dim)."""
     n = params.n_droplets
-    board_ids = jnp.zeros((params.width, params.length), dtype=jnp.int8)
-    board_ids = board_ids.at[state.pos[:, 0], state.pos[:, 1]].set(
-        jnp.arange(1, n + 1, dtype=jnp.int8)
-    )
     if params.obs_version == "v0.1":
         from marl_dmfb_tpu.envs.dmfb_v01 import observe_one_v01
 
-        fn = lambda i: observe_one_v01(params, state, i, board_ids)
+        fn = lambda i: observe_one_v01(params, state, i)
     else:
-        fn = lambda i: _observe_one_v0(params, state, i, board_ids)
+        fn = lambda i: _observe_one_v0(params, state, i)
     return jax.vmap(fn)(jnp.arange(n))
 
 
@@ -604,7 +637,15 @@ def global_state(params: DMFBParams, state: DMFBState) -> jax.Array:
     w, l = params.width, params.length
     n = params.n_droplets
     ids = jnp.arange(1, n + 1, dtype=jnp.float32)
-    l0 = jnp.zeros((w, l), jnp.float32).at[state.pos[:, 0], state.pos[:, 1]].set(ids)
-    l1 = jnp.zeros((w, l), jnp.float32).at[state.goal[:, 0], state.goal[:, 1]].set(ids)
+    xs = jnp.arange(w)
+    ys = jnp.arange(l)
+
+    def id_board(cells):
+        ox = (cells[:, 0:1] == xs[None, :]).astype(jnp.float32)  # (n, w)
+        oy = (cells[:, 1:2] == ys[None, :]).astype(jnp.float32)  # (n, l)
+        return jnp.einsum("nw,nl,n->wl", ox, oy, ids)
+
+    l0 = id_board(state.pos)
+    l1 = id_board(state.goal)
     l2 = state.block_mask.astype(jnp.float32)
     return jnp.stack([l0, l1, l2]).reshape(-1)

@@ -162,32 +162,58 @@ def _sq(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(d * d, axis=-1)
 
 
+_GEN_ROUNDS = 32
+
+
+def _fallback_lattice(params: MEDAParams) -> jnp.ndarray:
+    """Deterministic valid centers (spacing >= 9), used only in the
+    astronomically unlikely event that all sampled rounds are invalid."""
+    import numpy as np
+
+    xs = np.arange(RADIUS, params.length - RADIUS, 9)
+    ys = np.arange(RADIUS, params.width - RADIUS, 9)
+    grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    assert grid.shape[0] >= params.n_droplets
+    return jnp.asarray(grid[: params.n_droplets], jnp.int32)
+
+
+def _rand_centers_batch(params: MEDAParams, key: jax.Array) -> jax.Array:
+    """(R, 2) candidate centers (reference getRandomYX bounds,
+    meda.py:224-227)."""
+    kx, ky = jax.random.split(key)
+    x = jax.random.randint(kx, (_GEN_ROUNDS,), RADIUS,
+                           params.length - RADIUS, jnp.int32)
+    y = jax.random.randint(ky, (_GEN_ROUNDS,), RADIUS,
+                           params.width - RADIUS, jnp.int32)
+    return jnp.stack([x, y], axis=-1)
+
+
+def _first_valid(cand: jax.Array, valid: jax.Array, fallback: jax.Array):
+    """First valid candidate — identical distribution to rejection
+    sampling, branch-free (no while_loop)."""
+    first = jnp.argmax(valid)
+    return jnp.where(jnp.any(valid), cand[first], fallback)
+
+
 def _gen_centers(params: MEDAParams, key: jax.Array) -> jax.Array:
     """Sequentially generate N centers, each rejected while too close
     (squared center distance < 81) to any earlier one
-    (reference _genLegalDroplet/_isGoodDroplet, meda.py:213-233)."""
+    (reference _genLegalDroplet/_isGoodDroplet, meda.py:213-233); each
+    droplet's rejection is a vectorized first-valid pick."""
     n = params.n_droplets
+    lattice = _fallback_lattice(params)
     centers = jnp.zeros((n, 2), dtype=jnp.int32)
-    for i in range(n):  # static unroll; rejection per droplet
-        def bad(c, centers=centers, i=i):
-            if i == 0:
-                return jnp.bool_(False)
-            sq = _sq(centers[:i], c[None, :])
-            return jnp.any(sq < SQ_TOO_CLOSE)
-
-        def cond(carry):
-            _, c = carry
-            return bad(c)
-
-        def body(carry):
-            key, _ = carry
-            key, sub = jax.random.split(key)
-            return key, _rand_center(params, sub)
-
+    mask = jnp.zeros((n,), bool)  # which rows of `centers` are placed
+    for i in range(n):  # static unroll, tiny
         key, sub = jax.random.split(key)
-        _, c = lax.while_loop(cond, body, (key, _rand_center(params, sub)))
-        key, _ = jax.random.split(key)
+        cand = _rand_centers_batch(params, sub)                  # (R, 2)
+        sq = jnp.sum(
+            (cand[:, None, :] - centers[None, :, :]) ** 2, axis=-1
+        )                                                        # (R, n)
+        ok = jnp.all(~mask[None, :] | (sq >= SQ_TOO_CLOSE), axis=1)
+        c = _first_valid(cand, ok, lattice[i])
         centers = centers.at[i].set(c)
+        mask = mask.at[i].set(True)
     return centers
 
 
@@ -196,28 +222,20 @@ def _gen_dests(params: MEDAParams, key: jax.Array, droplets: jax.Array) -> jax.A
     body-overlap rejection vs the droplet's own start
     (reference addTask, meda.py:175-185: overlap iff |dx|<=2r and |dy|<=2r)."""
     n = params.n_droplets
+    lattice = jnp.flip(_fallback_lattice(params), axis=0)
     dests = jnp.zeros((n, 2), dtype=jnp.int32)
+    mask = jnp.zeros((n,), bool)
     for i in range(n):
-        def bad(c, dests=dests, i=i):
-            overlap = jnp.all(jnp.abs(c - droplets[i]) <= 2 * RADIUS)
-            if i == 0:
-                return overlap
-            sq = _sq(dests[:i], c[None, :])
-            return overlap | jnp.any(sq < SQ_TOO_CLOSE)
-
-        def cond(carry):
-            _, c = carry
-            return bad(c)
-
-        def body(carry):
-            key, _ = carry
-            key, sub = jax.random.split(key)
-            return key, _rand_center(params, sub)
-
         key, sub = jax.random.split(key)
-        _, c = lax.while_loop(cond, body, (key, _rand_center(params, sub)))
-        key, _ = jax.random.split(key)
+        cand = _rand_centers_batch(params, sub)
+        sq = jnp.sum((cand[:, None, :] - dests[None, :, :]) ** 2, axis=-1)
+        no_close = jnp.all(~mask[None, :] | (sq >= SQ_TOO_CLOSE), axis=1)
+        no_overlap = ~jnp.all(
+            jnp.abs(cand - droplets[i][None, :]) <= 2 * RADIUS, axis=1
+        )
+        c = _first_valid(cand, no_close & no_overlap, lattice[i])
         dests = dests.at[i].set(c)
+        mask = mask.at[i].set(True)
     return dests
 
 
@@ -304,12 +322,14 @@ def restart(params: MEDAParams, state: MEDAState) -> MEDAState:
 
 def _footprint_mean_health(params: MEDAParams, health: jax.Array, c: jax.Array):
     """Mean health under the (2r+1)^2 footprint (meda.py:302-309);
-    board indexed [y][x]."""
+    board indexed [y][x].  One-hot band contraction instead of a
+    dynamic-slice gather (TPU: vmapped gathers are slow)."""
     k = 2 * RADIUS + 1
-    patch = lax.dynamic_slice(
-        health, (c[1] - RADIUS, c[0] - RADIUS), (k, k)
-    )
-    return jnp.mean(patch)
+    ys = jnp.arange(params.width)
+    xs = jnp.arange(params.length)
+    band_y = (jnp.abs(ys - c[1]) <= RADIUS).astype(jnp.float32)
+    band_x = (jnp.abs(xs - c[0]) <= RADIUS).astype(jnp.float32)
+    return band_y @ health @ band_x / (k * k)
 
 
 def _move_droplets(
@@ -322,43 +342,49 @@ def _move_droplets(
     actions: jax.Array,
     uniforms: jax.Array,
 ):
-    """Sequential per-droplet moves (meda.py:241-292)."""
+    """Sequential per-droplet moves (meda.py:241-292).
+
+    Statically unrolled over the tiny droplet count with one-hot
+    select/masked-update over the droplet axis — no dynamic slices or
+    scatters on the hot path (see dmfb._move_droplets)."""
     n = params.n_droplets
     lo = jnp.array([RADIUS, RADIUS], jnp.int32)
     hi = jnp.array([params.length - 1 - RADIUS, params.width - 1 - RADIUS], jnp.int32)
+    deltas = (
+        jax.nn.one_hot(actions, N_ACTIONS, dtype=jnp.float32)
+        @ _ACTION_DELTAS.astype(jnp.float32)
+    ).astype(jnp.int32)                       # (n, 2)
+    rewards = jnp.zeros((n,), dtype=jnp.float32)
 
-    def body(i, carry):
-        center, sq_dist, status, rewards = carry
-        done = status[i]
-        snap = (~done) & (sq_dist[i] < SQ_GOAL)  # meda.py:272-277
+    for i in range(n):  # static unroll
+        sel = jnp.arange(n) == i
+        c_i = jnp.sum(jnp.where(sel[:, None], center, 0), axis=0)
+        sq_i = jnp.sum(jnp.where(sel, sq_dist, 0))
+        done = jnp.any(sel & status)
+        snap = (~done) & (sq_i < SQ_GOAL)  # meda.py:272-277
         # Stochastic move only when neither done nor snapping.
-        prob = _footprint_mean_health(params, health, center[i])
+        prob = _footprint_mean_health(params, health, c_i)
         moved = (~done) & (~snap) & (uniforms[i] <= prob)
-        cand = jnp.clip(center[i] + _ACTION_DELTAS[actions[i]], lo, hi)
-        new_c = jnp.where(snap, dest[i], jnp.where(moved, cand, center[i]))
+        cand = jnp.clip(c_i + deltas[i], lo, hi)
+        new_c = jnp.where(snap, dest[i], jnp.where(moved, cand, c_i))
         sq_new = _sq(new_c, dest[i])
         # Reward table (meda.py:283-291), on squared distances (exact).
         r = jnp.where(
             sq_new < SQ_GOAL,
             0.0,
             jnp.where(
-                (sq_new == sq_dist[i]) & (actions[i] == 8),
+                (sq_new == sq_i) & (actions[i] == 8),
                 -0.2,
-                jnp.where(sq_new < sq_dist[i], -0.08, -0.4),
+                jnp.where(sq_new < sq_i, -0.08, -0.4),
             ),
         )
-        rewards = rewards.at[i].set(
-            jnp.where(done, 0.0, jnp.where(snap, 0.0, r))
-        )
-        sq_dist = sq_dist.at[i].set(
-            jnp.where(done, sq_dist[i], jnp.where(snap, 0, sq_new))
-        )
-        center = center.at[i].set(jnp.where(done, center[i], new_c))
-        status = status.at[i].set(done | snap)
-        return center, sq_dist, status, rewards
-
-    rewards0 = jnp.zeros((n,), dtype=jnp.float32)
-    return lax.fori_loop(0, n, body, (center, sq_dist, status, rewards0))
+        rewards = jnp.where(sel, jnp.where(done | snap, 0.0, r), rewards)
+        sq_dist = jnp.where(sel, jnp.where(done, sq_i, jnp.where(snap, 0, sq_new)),
+                            sq_dist)
+        center = jnp.where(sel[:, None], jnp.where(done, c_i, new_c)[None, :],
+                           center)
+        status = jnp.where(sel, done | snap, status)
+    return center, sq_dist, status, rewards
 
 
 def _punish(center: jax.Array):
@@ -401,16 +427,14 @@ def step_core(
     dones = jnp.where(within, status, True)
 
     # addUsage only while within the step limit (meda.py:529-534,591-598):
-    # each not-done droplet wears its whole footprint.
-    k = 2 * RADIUS + 1
-    wear = jnp.zeros_like(state.usage)
-    patch = jnp.ones((k, k), dtype=jnp.float32)
-    for i in range(params.n_droplets):  # static unroll
-        add = lax.dynamic_update_slice(
-            jnp.zeros_like(wear), patch,
-            (center[i, 1] - RADIUS, center[i, 0] - RADIUS),
-        )
-        wear = wear + add * (~dones[i]).astype(jnp.float32)
+    # each not-done droplet wears its whole footprint.  Band outer products
+    # instead of scatters.
+    ys = jnp.arange(params.width)
+    xs = jnp.arange(params.length)
+    band_y = (jnp.abs(ys[None, :] - center[:, 1, None]) <= RADIUS).astype(jnp.float32)
+    band_x = (jnp.abs(xs[None, :] - center[:, 0, None]) <= RADIUS).astype(jnp.float32)
+    wear = jnp.einsum("nw,nl,n->wl", band_y, band_x,
+                      (~dones).astype(jnp.float32))
     usage = state.usage + wear * within.astype(jnp.float32)
 
     state = state._replace(
@@ -450,40 +474,42 @@ def step(params: MEDAParams, state: MEDAState, actions: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _rect_on_canvas(fov, row_lo, row_hi, col_lo, col_hi):
-    """Bool mask of canvas cells inside [row_lo,row_hi]x[col_lo,col_hi]."""
-    rows = jnp.arange(fov)
-    rmask = (rows >= row_lo) & (rows <= row_hi)
-    cmask = (rows >= col_lo) & (rows <= col_hi)
-    return rmask[:, None] & cmask[None, :]
-
-
-def _paint_footprint(params, canvas, c, ox, oy, idx, clip_border):
-    """Paint a body footprint (id = idx+1) onto the [row=y][col=x] canvas.
+def _footprint_masks(params, centers, ox, oy, clip_border):
+    """(n, fov, fov) bool masks of the body footprints on the [row=y][col=x]
+    canvas, vectorized over droplets.
 
     clip_border=False: only the in-FOV part is painted (meda.py:631-658).
     clip_border=True: footprint cells are np.clip-projected onto the border
     (meda.py:659-671) — the image of the rect is the rect of clipped corners.
     """
     fov = params.fov
-    row_lo = c[1] - RADIUS - oy
-    row_hi = c[1] + RADIUS - oy
-    col_lo = c[0] - RADIUS - ox
-    col_hi = c[0] + RADIUS - ox
+    rows = jnp.arange(fov)
+    row_lo = centers[:, 1] - RADIUS - oy
+    row_hi = centers[:, 1] + RADIUS - oy
+    col_lo = centers[:, 0] - RADIUS - ox
+    col_hi = centers[:, 0] + RADIUS - ox
     if clip_border:
         row_lo = jnp.clip(row_lo, 0, fov - 1)
         row_hi = jnp.clip(row_hi, 0, fov - 1)
         col_lo = jnp.clip(col_lo, 0, fov - 1)
         col_hi = jnp.clip(col_hi, 0, fov - 1)
-    mask = _rect_on_canvas(fov, row_lo, row_hi, col_lo, col_hi)
-    return jnp.where(mask, jnp.full_like(canvas, idx + 1), canvas)
+    rmask = (rows[None, :] >= row_lo[:, None]) & (rows[None, :] <= row_hi[:, None])
+    cmask = (rows[None, :] >= col_lo[:, None]) & (rows[None, :] <= col_hi[:, None])
+    return rmask[:, :, None] & cmask[:, None, :]
 
 
-def _in_fov(c, ox, oy, fov):
-    """Does the body rect intersect the FOV window?"""
+def _max_paint(masks, ids):
+    """Ascending-id overwrite == per-cell max id (ids ascend with j):
+    one reduce instead of an unrolled scatter loop."""
+    vals = masks * ids[:, None, None].astype(jnp.int32)
+    return jnp.max(vals, axis=0).astype(jnp.float32)
+
+
+def _in_fov_all(centers, ox, oy, fov):
+    """Which body rects intersect the FOV window — (n,) bool."""
     return (
-        (c[0] + RADIUS >= ox) & (c[0] - RADIUS <= ox + fov - 1)
-        & (c[1] + RADIUS >= oy) & (c[1] - RADIUS <= oy + fov - 1)
+        (centers[:, 0] + RADIUS >= ox) & (centers[:, 0] - RADIUS <= ox + fov - 1)
+        & (centers[:, 1] + RADIUS >= oy) & (centers[:, 1] - RADIUS <= oy + fov - 1)
     )
 
 
@@ -501,25 +527,27 @@ def _boundary_layer(params: MEDAParams, cx, cy):
 
 
 def _observe_one(params: MEDAParams, state: MEDAState, i):
-    fov, hf = params.fov, params.fov // 2
+    fov = params.fov
     n = params.n_droplets
     cx, cy = state.center[i, 0], state.center[i, 1]
+    hf = fov // 2
     ox, oy = cx - hf, cy - hf
     f32 = jnp.float32
-    z = jnp.zeros((fov, fov), dtype=f32)
+    js = jnp.arange(n)
+    ids = (js + 1).astype(jnp.int32)
+    own = (js == i).astype(jnp.int32)
+    other = (js != i).astype(jnp.int32)
+
+    drop_masks = _footprint_masks(params, state.center, ox, oy, False)
+    dest_masks = _footprint_masks(params, state.dest, ox, oy, False)
+    dest_clip_masks = _footprint_masks(params, state.dest, ox, oy, True)
 
     if params.obs_version == "v0":
         # meda.py:613-674: own droplet, own goal, others, others' goals(clip)
-        l0 = _paint_footprint(params, z, state.center[i], ox, oy, i, False)
-        l1 = _paint_footprint(params, z, state.dest[i], ox, oy, i, False)
-        l2 = z
-        for j in range(n):
-            lj = _paint_footprint(params, l2, state.center[j], ox, oy, j, False)
-            l2 = jnp.where(j != i, lj, l2)
-        l3 = z
-        for j in range(n):
-            lj = _paint_footprint(params, l3, state.dest[j], ox, oy, j, True)
-            l3 = jnp.where(j != i, lj, l3)
+        l0 = _max_paint(drop_masks, ids * own)
+        l1 = _max_paint(dest_masks, ids * own)
+        l2 = _max_paint(drop_masks, ids * other)
+        l3 = _max_paint(dest_clip_masks, ids * other)
         direction = jnp.stack(
             [state.dest[i, 0] - cx, state.dest[i, 1] - cy]
         ).astype(f32)
@@ -527,21 +555,13 @@ def _observe_one(params: MEDAParams, state: MEDAState, i):
         return jnp.concatenate([pixel.reshape(-1), direction])
 
     # v0.1 / v0.2 share the "observed" visibility rule (meda.py:800-808).
-    l_drops = z
-    observed = []
-    for j in range(n):
-        vis = _in_fov(state.center[j], ox, oy, fov)
-        observed.append(vis)
-        lj = _paint_footprint(params, l_drops, state.center[j], ox, oy, j, False)
-        l_drops = jnp.where(vis, lj, l_drops)
-    l_goals = z
-    for j in range(n):
-        lj = _paint_footprint(params, l_goals, state.dest[j], ox, oy, j, True)
-        l_goals = jnp.where((j != i) & observed[j], lj, l_goals)
+    observed = _in_fov_all(state.center, ox, oy, fov).astype(jnp.int32)
+    l_drops = _max_paint(drop_masks, ids)  # all droplets incl. self
+    l_goals = _max_paint(dest_clip_masks, ids * other * observed)
     l_bound = _boundary_layer(params, cx, cy).astype(f32)
 
     if params.obs_version == "v0.1":
-        l_own_goal = _paint_footprint(params, z, state.dest[i], ox, oy, i, False)
+        l_own_goal = _max_paint(dest_masks, ids * own)
         direction = jnp.stack(
             [
                 (state.dest[i, 1] - cy) / params.width,
@@ -568,18 +588,14 @@ def global_state(params: MEDAParams, state: MEDAState) -> jax.Array:
     """Global footprint boards (droplet ids, destination ids) flattened —
     the QMIX mixer state (new capability; the reference has none for MEDA)."""
     w, l = params.width, params.length
-    z = jnp.zeros((w, l), dtype=jnp.float32)
     rows = jnp.arange(w)
     cols = jnp.arange(l)
+    ids = jnp.arange(1, params.n_droplets + 1, dtype=jnp.int32)
 
-    def paint(canvas, c, idx):
-        rmask = jnp.abs(rows - c[1]) <= RADIUS
-        cmask = jnp.abs(cols - c[0]) <= RADIUS
-        mask = rmask[:, None] & cmask[None, :]
-        return jnp.where(mask, jnp.float32(idx + 1), canvas)
+    def boards(centers):
+        rmask = jnp.abs(rows[None, :] - centers[:, 1, None]) <= RADIUS
+        cmask = jnp.abs(cols[None, :] - centers[:, 0, None]) <= RADIUS
+        masks = rmask[:, :, None] & cmask[:, None, :]
+        return jnp.max(masks * ids[:, None, None], axis=0).astype(jnp.float32)
 
-    drops, dests = z, z
-    for i in range(params.n_droplets):
-        drops = paint(drops, state.center[i], i)
-        dests = paint(dests, state.dest[i], i)
-    return jnp.stack([drops, dests]).reshape(-1)
+    return jnp.stack([boards(state.center), boards(state.dest)]).reshape(-1)

@@ -253,6 +253,8 @@ class Trainer:
             self.success_rate.append(m["success_rate"])
             self.plot()
             self.save_curves()
+        else:
+            self.evaluate_total()
         return {
             "rewards": self.episode_rewards,
             "steps": self.episode_steps,
@@ -260,6 +262,31 @@ class Trainer:
             "success_rate": self.success_rate,
             "runtime": self.time_cost,
         }
+
+    def evaluate_total(self):
+        """Offline sweep: reload every saved checkpoint and evaluate it
+        (reference train.py:96-118; the `--online_eval=False` path)."""
+        args = self.args
+        self.episode_rewards.clear()
+        self.episode_steps.clear()
+        self.episode_constraints.clear()
+        self.success_rate.clear()
+        tags = list(range(args.total_env_steps // args.evaluate_cycle))
+        tags.append("final")
+        for tag in tags:
+            try:
+                self.load_model(tag)
+            except FileNotFoundError:
+                continue
+            m = self.evaluate()
+            self.episode_rewards.append(m["reward"])
+            self.episode_steps.append(m["steps"])
+            self.episode_constraints.append(m["constraints"])
+            self.success_rate.append(m["success_rate"])
+            print(f"checkpoint {tag}: success {m['success_rate']:.3f}",
+                  flush=True)
+        self.plot()
+        self.save_curves()
 
     # ------------------------------------------------------------------
     def plot(self):

@@ -53,10 +53,11 @@ def random_task(rng, w, l, n):
 
 def run_lockstep_dmfb(
     monkeypatch, w=10, l=10, n=4, fov=9, blocks=(), health=None, n_steps=40,
-    seed=0, obs_exact=True,
+    seed=0, obs_exact=True, version="v0",
 ):
     ref_mod = load_reference_dmfb()
-    ref_env = ref_mod.DMFBenv(w, l, n, n_blocks=0, fov=fov)
+    ref_cls = ref_mod.DMFBenv_v0_1 if version == "v0.1" else ref_mod.DMFBenv
+    ref_env = ref_cls(w, l, n, n_blocks=0, fov=fov)
     rng = np.random.RandomState(seed)
     starts, ends = random_task(rng, w, l, n)
     # keep injected blocks away from tasks to satisfy generation invariants
@@ -65,7 +66,7 @@ def run_lockstep_dmfb(
         ref_env.routing_manager.m_health = np.asarray(health).copy()
 
     params = jdmfb.DMFBParams(width=w, length=l, n_droplets=n, fov=fov,
-                              n_blocks=len(blocks))
+                              n_blocks=len(blocks), obs_version=version)
     state = make_state(params, starts, ends, blocks=list(blocks), health=health)
 
     stream = DrawStream(seed + 1000)
@@ -76,9 +77,9 @@ def run_lockstep_dmfb(
     )
 
     # initial observation parity
-    ref_obs0 = np.stack(ref_env.getObs())
-    my_obs0 = np.array(jdmfb.observe(params, state))
-    np.testing.assert_array_equal(my_obs0, ref_obs0)
+    ref_obs0 = np.stack(ref_env.getObs()).astype(np.float64)
+    my_obs0 = np.array(jdmfb.observe(params, state)).astype(np.float64)
+    np.testing.assert_allclose(my_obs0, ref_obs0, atol=1e-6)
 
     for t in range(n_steps):
         dist_before = np.asarray(ref_env.routing_manager.distances).copy()
@@ -110,8 +111,10 @@ def run_lockstep_dmfb(
         ref_dones = np.array([dones_r[a] for a in ref_env.agents])
         np.testing.assert_array_equal(np.array(out.dones), ref_dones)
         if obs_exact:
-            np.testing.assert_array_equal(
-                np.array(out.obs), np.stack(obs_r), err_msg=f"step {t}"
+            np.testing.assert_allclose(
+                np.array(out.obs).astype(np.float64),
+                np.stack(obs_r).astype(np.float64),
+                atol=1e-6, err_msg=f"step {t}",
             )
         np.testing.assert_allclose(
             np.array(state.usage), ref_env.routing_manager.m_usage, atol=1e-6
@@ -140,6 +143,19 @@ class TestDMFBLockstep:
 
     def test_larger_board_10_droplets(self, monkeypatch):
         run_lockstep_dmfb(monkeypatch, w=20, l=20, n=10, seed=5, n_steps=30)
+
+    def test_v01_obs(self, monkeypatch):
+        run_lockstep_dmfb(monkeypatch, n=4, seed=11, version="v0.1")
+
+    def test_v01_obs_crowded(self, monkeypatch):
+        # small board forces the occupancy-fallback path in layer 2
+        run_lockstep_dmfb(monkeypatch, w=7, l=7, n=4, fov=7, seed=13,
+                          n_steps=28, version="v0.1")
+
+    def test_v01_obs_10_droplets(self, monkeypatch):
+        # n >= 10 switches the own-goal layer to the no-projection branch
+        run_lockstep_dmfb(monkeypatch, w=20, l=20, n=10, seed=17, n_steps=25,
+                          version="v0.1")
 
     def test_update_health_matches(self, monkeypatch):
         ref_mod = load_reference_dmfb()
