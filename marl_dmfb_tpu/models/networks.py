@@ -185,6 +185,19 @@ def build_agent_net(args) -> nn.Module:
     raise ValueError(f"unknown net: {args.net!r}")
 
 
+class Critic(nn.Module):
+    """Central-V critic MLP (reference base_net.py:115-127 — unused by the
+    reference main path; provided for surface completeness)."""
+
+    critic_dim: int = 128
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        x = nn.relu(TorchDense(self.critic_dim, name="fc1")(inputs))
+        x = nn.relu(TorchDense(self.critic_dim, name="fc2")(x))
+        return TorchDense(1, name="fc3")(x)
+
+
 def vdn_mix(agent_qs: jax.Array) -> jax.Array:
     """Additive joint Q (reference VDNNet, vdn_net.py:9-10): sum over the
     agent axis, keepdims."""

@@ -1,0 +1,56 @@
+"""Multi-host initialization and scaling measurement.
+
+The reference is strictly single-process (SURVEY §2.3).  Scale-out here is
+SPMD: every host runs the same program; ``init_distributed()`` wires the
+JAX runtime across hosts, after which ``jax.devices()`` spans the whole
+slice and the standard mesh helpers shard the env batch globally (ICI
+within a slice, DCN across slices) — XLA collectives are the only
+communication layer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host runtime (idempotent; no-op single-host).
+
+    With TPU metadata available all arguments are auto-detected; on other
+    platforms pass them or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # single-host (or TPU auto-detection inside initialize())
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process fallback
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally sharded batch axis."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch // n
+    return slice(i * per, (i + 1) * per)
