@@ -1,0 +1,76 @@
+"""Scaling-efficiency benchmark: actor-loop throughput vs mesh size.
+
+Runs the fused rollout with the env batch sharded over 1, 2, ..., all
+available devices and reports env-steps/s and parallel efficiency for each
+mesh size.  On a multi-chip host this measures ICI scaling; on the 1-chip
+dev environment it degenerates to the single-chip number; with
+``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`` it
+demonstrates the sharded program on a virtual 8-device mesh.
+
+Prints one JSON line per mesh size.
+"""
+
+import json
+import time
+
+from marl_dmfb_tpu.utils import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+from marl_dmfb_tpu.algos.qlearn import make_learner
+from marl_dmfb_tpu.config import Args
+from marl_dmfb_tpu.envs import make_env
+from marl_dmfb_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from marl_dmfb_tpu.rollout import make_rollout
+
+
+def main(per_device_b=1024, iters=3):
+    env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
+    args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10)
+    args.apply_env_defaults()
+    args.load_yaml()
+    args.update_env_info(env.env_info())
+    init, _, net = make_learner(args, env)
+    lst = init(jax.random.PRNGKey(0))
+    rollout = make_rollout(env, net, args.rnn_hidden_dim)
+    T = env.episode_limit
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in [1, 2, 4, 8, 16, 32] if d <= n_dev]
+    base_sps = None
+    for nd in sizes:
+        mesh = make_mesh(jax.devices()[:nd])
+        B = per_device_b * nd
+        states = shard_batch(mesh, jax.vmap(env.init)(
+            jax.random.split(jax.random.PRNGKey(1), B)
+        ))
+        theta = replicate(mesh, lst.params["agent"])
+        run = lambda st, k: rollout(theta, st, k, jnp.float32(1.0),
+                                    jnp.float32(0.0), jnp.float32(0.05),
+                                    greedy=False)
+        res = run(states, jax.random.PRNGKey(2))
+        jax.block_until_ready(res.episodes["r"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            res = run(res.env_states, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(res.episodes["r"])
+        dt = (time.perf_counter() - t0) / iters
+        sps = B * T / dt
+        if base_sps is None:
+            base_sps = sps
+        eff = sps / (base_sps * nd)
+        print(json.dumps({
+            "metric": f"actor_env_steps_per_sec_{nd}dev",
+            "value": round(sps),
+            "unit": "env-steps/s",
+            "vs_baseline": round(eff, 4),  # parallel efficiency vs 1 device
+        }))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(per_device_b=int(sys.argv[1]) if len(sys.argv) > 1 else 1024)

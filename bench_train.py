@@ -1,0 +1,87 @@
+"""Full training-loop throughput benchmark: rollout + replay store + K
+gradient updates, end to end, on the flagship DMFB 10x10-4d config.
+
+Prints one JSON line per phase (actor-only, learn-only, full loop).  The
+headline bench.py reports the actor loop; this gives the learner picture.
+"""
+
+import json
+import time
+
+from marl_dmfb_tpu.utils import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+from marl_dmfb_tpu import replay as replay_lib
+from marl_dmfb_tpu.algos.qlearn import make_learner
+from marl_dmfb_tpu.config import Args
+from marl_dmfb_tpu.envs import make_env
+from marl_dmfb_tpu.rollout import make_rollout
+
+
+def main(B=1024, iters=3):
+    args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
+                n_parallel_envs=B)
+    args.apply_env_defaults()
+    args.load_yaml()
+    env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
+    args.update_env_info(env.env_info())
+    init, learn, net = make_learner(args, env)
+    lstate = init(jax.random.PRNGKey(0))
+    rollout = make_rollout(env, net, args.rnn_hidden_dim)
+    states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
+    rb = replay_lib.init_replay(
+        capacity=args.buffer_size, episode_limit=args.episode_limit,
+        n_agents=4, obs_dim=args.obs_shape[-1], n_actions=args.n_actions,
+    )
+    T = env.episode_limit
+    updates = max(1, round(args.train_time * B / args.n_episodes))
+
+    def cycle(lstate, states, rb, key):
+        res = rollout(lstate.params["agent"], states, key,
+                      jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                      greedy=False)
+        rb = replay_lib.store(rb, res.episodes)
+        for i in range(updates):
+            key, sub = jax.random.split(key)
+            batch = replay_lib.sample(rb, sub, args.batch_size)
+            lstate, loss = learn(lstate, batch)
+        return lstate, res.env_states, rb, loss
+
+    # warmup
+    lstate, states, rb, loss = cycle(lstate, states, rb, jax.random.PRNGKey(2))
+    jax.block_until_ready(loss)
+
+    # learn-only
+    batch = replay_lib.sample(rb, jax.random.PRNGKey(3), args.batch_size)
+    lstate, loss = learn(lstate, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        lstate, loss = learn(lstate, batch)
+    jax.block_until_ready(loss)
+    dt_learn = (time.perf_counter() - t0) / 10
+    print(json.dumps({"metric": "learn_step_ms",
+                      "value": round(dt_learn * 1000, 2), "unit": "ms",
+                      "vs_baseline": None}))
+
+    # full loop
+    t0 = time.perf_counter()
+    for i in range(iters):
+        lstate, states, rb, loss = cycle(lstate, states, rb,
+                                         jax.random.PRNGKey(4 + i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    sps = B * T / dt
+    print(json.dumps({"metric": "train_loop_env_steps_per_sec",
+                      "value": round(sps), "unit": "env-steps/s",
+                      "vs_baseline": round(sps / 1e6, 4)}))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(B=int(sys.argv[1]) if len(sys.argv) > 1 else 1024)

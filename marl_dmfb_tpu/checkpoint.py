@@ -21,11 +21,29 @@ def save(path: str, tree: Any) -> None:
 
 
 def restore(path: str, like: Any = None) -> Any:
+    """Restore a checkpoint tree.
+
+    Arrays are restored host-side (NumPy) and transferred to device on
+    first use: restoring straight to a tunneled TPU issues one RPC per
+    array and takes minutes for large trees."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    if like is None:
-        return ckptr.restore(path)
-    return ckptr.restore(path, item=like)
+    try:
+        import numpy as np
+
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray)
+            if hasattr(m, "shape") else ocp.RestoreArgs(),
+            tree,
+        )
+        return ckptr.restore(path, restore_args=restore_args)
+    except Exception:
+        if like is None:
+            return ckptr.restore(path)
+        return ckptr.restore(path, item=like)
 
 
 def latest_step_dir(root: str, prefix: str) -> str | None:

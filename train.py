@@ -19,6 +19,13 @@ def main():
     args = get_train_args()
     env = make_env_from_args(args)
     trainer = Trainer(env, args)
+    if args.load_model:
+        # resume from a full-state checkpoint (params, target, optimizer,
+        # epsilon, PRNG — unlike the reference, which reloads weights only)
+        tag = args.load_model_name or "final"
+        if tag.startswith(f"{args.ith_run}_"):
+            tag = tag[len(f"{args.ith_run}_"):]
+        trainer.load_model(tag.rstrip("_"))
     trainer.run(online_evaluate=args.online_eval)
 
 
