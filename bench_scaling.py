@@ -33,7 +33,7 @@ def main(per_device_b=1024, iters=3):
     args.apply_env_defaults()
     args.load_yaml()
     args.update_env_info(env.env_info())
-    init, _, net = make_learner(args, env)
+    init, _, net, _ = make_learner(args, env)
     lst = init(jax.random.PRNGKey(0))
     rollout = make_rollout(env, net, args.rnn_hidden_dim)
     T = env.episode_limit

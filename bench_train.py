@@ -29,7 +29,7 @@ def main(B=1024, iters=3):
     args.load_yaml()
     env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
     args.update_env_info(env.env_info())
-    init, learn, net = make_learner(args, env)
+    init, learn, net, learn_many = make_learner(args, env)
     lstate = init(jax.random.PRNGKey(0))
     rollout = make_rollout(env, net, args.rnn_hidden_dim)
     states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
@@ -45,10 +45,8 @@ def main(B=1024, iters=3):
                       jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
                       greedy=False)
         rb = replay_lib.store(rb, res.episodes)
-        for i in range(updates):
-            key, sub = jax.random.split(key)
-            batch = replay_lib.sample(rb, sub, args.batch_size)
-            lstate, loss = learn(lstate, batch)
+        key, sub = jax.random.split(key)
+        lstate, loss = learn_many(lstate, rb.data, rb.size, sub, updates)
         return lstate, res.env_states, rb, loss
 
     # warmup

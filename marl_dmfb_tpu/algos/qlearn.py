@@ -153,8 +153,7 @@ def make_learner(args, env):
         td = (jax.lax.stop_gradient(targets) - q_tot_e) * mask
         return jnp.sum(td ** 2) / jnp.sum(mask)
 
-    @jax.jit
-    def learn(state: LearnerState, batch: dict):
+    def _update(state: LearnerState, batch: dict):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, state.target_params, batch
         )
@@ -175,4 +174,24 @@ def make_learner(args, env):
             loss,
         )
 
-    return init, learn, net
+    learn = jax.jit(_update)
+
+    @functools.partial(jax.jit, static_argnames=("n_updates",))
+    def learn_many(state: LearnerState, replay_data: dict, replay_size,
+                   key, n_updates: int):
+        """K sample+update steps fused in one XLA program (one dispatch
+        instead of K host round-trips; per-call latency dominates K
+        sequential `learn` calls on a tunneled device)."""
+
+        def body(state, k):
+            idx = jax.random.randint(
+                k, (args.batch_size,), 0, jnp.maximum(replay_size, 1)
+            )
+            batch = {kk: v[idx] for kk, v in replay_data.items()}
+            return _update(state, batch)
+
+        keys = jax.random.split(key, n_updates)
+        state, losses = jax.lax.scan(body, state, keys)
+        return state, jnp.mean(losses)
+
+    return init, learn, net, learn_many

@@ -71,7 +71,8 @@ class Trainer:
         args.update_env_info(env.env_info())
 
         self.use_state = args.alg == "qmix"
-        self.init_learner, self.learn, self.net = make_learner(args, env)
+        (self.init_learner, self.learn, self.net,
+         self.learn_many) = make_learner(args, env)
 
         key = jax.random.PRNGKey(args.seed)
         key, k_learn, k_envs, k_eval, self.key = jax.random.split(key, 5)
@@ -204,13 +205,10 @@ class Trainer:
         else:
             self.epsilon = result.epsilon
         self.replay = replay_lib.store(self.replay, result.episodes)
-        for _ in range(self.updates_per_rollout):
-            batch = replay_lib.sample(
-                self.replay, self._next_key(), self.args.batch_size
-            )
-            self.learner_state, self._last_loss = self.learn(
-                self.learner_state, batch
-            )
+        self.learner_state, self._last_loss = self.learn_many(
+            self.learner_state, self.replay.data, self.replay.size,
+            self._next_key(), self.updates_per_rollout,
+        )
         return int(jnp.sum(result.steps))
 
     def run(self, online_evaluate: bool = True):

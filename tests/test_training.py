@@ -70,7 +70,7 @@ class TestRollout:
     def _rollout(self, greedy=False, seed=0):
         from marl_dmfb_tpu.algos.qlearn import make_learner as ml
 
-        init, learn, net = ml(self.args, self.env)
+        init, learn, net, _ = ml(self.args, self.env)
         lstate = init(jax.random.PRNGKey(seed))
         B = self.args.rollout_batch
         states = jax.vmap(self.env.init)(
@@ -134,7 +134,7 @@ class TestLearner:
     def _setup(self, alg="vdn"):
         args = small_args(alg=alg)
         env = small_env(args)
-        init, learn, net = make_learner(args, env)
+        init, learn, net, learn_many = make_learner(args, env)
         lstate = init(jax.random.PRNGKey(0))
         B = args.rollout_batch
         states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
@@ -167,7 +167,7 @@ class TestLearner:
     def test_target_sync_cadence(self):
         args, env, init, learn, lstate, res = self._setup("vdn")
         args.target_update_cycle = 3
-        init, learn, net = make_learner(args, env)
+        init, learn, net, learn_many = make_learner(args, env)
         lstate = init(jax.random.PRNGKey(0))
         batch = res.episodes
 
@@ -183,3 +183,29 @@ class TestLearner:
             else:
                 assert not np.array_equal(t, t0)  # synced at step 3
                 np.testing.assert_array_equal(t, flat(lstate.params))
+
+
+class TestLearnMany:
+    def test_fused_updates_advance_state(self):
+        args = small_args()
+        env = small_env(args)
+        init, learn, net, learn_many = make_learner(args, env)
+        lstate = init(jax.random.PRNGKey(0))
+        B = args.rollout_batch
+        states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
+        rollout = make_rollout(env, net, args.rnn_hidden_dim)
+        res = rollout(lstate.params["agent"], states, jax.random.PRNGKey(2),
+                      jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                      greedy=False)
+        rb = replay_lib.init_replay(
+            capacity=args.buffer_size, episode_limit=args.episode_limit,
+            n_agents=args.n_agents, obs_dim=args.obs_shape[-1],
+            n_actions=args.n_actions)
+        rb = replay_lib.store(rb, res.episodes)
+        l0 = jax.tree.leaves(lstate.params)[0].copy()
+        lstate2, loss = learn_many(lstate, rb.data, rb.size,
+                                   jax.random.PRNGKey(3), 5)
+        assert int(lstate2.train_step) == 5
+        assert np.isfinite(float(loss))
+        assert not np.array_equal(np.array(l0),
+                                  np.array(jax.tree.leaves(lstate2.params)[0]))
