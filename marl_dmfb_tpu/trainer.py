@@ -23,6 +23,15 @@ train.py:59-78):
 * the env-step budget counts failed episodes as ``episode_limit`` steps,
   exactly like the reference's accounting (train.py:63-65 with
   rollout.py:147-149).
+
+Choosing B (``--n_parallel_envs``): large B maximizes collection throughput
+but coarsens the policy-update cadence (the policy is frozen across each
+B-episode block), which measurably hurts long-horizon generalization —
+B=64 trained to 0.96 on 10x10 but only ~0.35-0.77 zero-shot on 50x50,
+while B=8 (close to the reference's every-2-episodes cadence) reached 0.98
+on 50x50, beating the reference baseline.  Default (0) keeps the
+reference's ``n_episodes`` granularity; B<=16 is recommended for
+reference-grade policy quality, large B for throughput experiments.
 """
 
 from __future__ import annotations
