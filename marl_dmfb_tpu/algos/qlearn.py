@@ -111,27 +111,29 @@ def make_learner(args, env):
         return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
 
     def build_inputs(batch):
-        o = batch["o"].astype(jnp.float32)
-        o_next = batch["o_next"].astype(jnp.float32)
+        # o_ext stores o and o_next as one length-(T+1) array (see
+        # replay.init_replay): eval-stream obs at t is exactly
+        # o_ext[:, :T] == [o[0], o_next[0..T-2]] (vdn.py:139-148), the
+        # target stream's is o_ext[:, 1:] == o_next.
+        o_ext = batch["o_ext"].astype(jnp.float32)
         u_onehot = batch["u_onehot"].astype(jnp.float32)
-        b = o.shape[0]
-        # eval: (o[0], zeros) then (o_next[t-1], u_onehot[t-1])
-        eval_obs = jnp.concatenate([o[:, :1], o_next[:, :-1]], axis=1)
+        eval_obs = o_ext[:, :-1]
+        tgt_obs = o_ext[:, 1:]
         prev_u = jnp.concatenate(
             [jnp.zeros_like(u_onehot[:, :1]), u_onehot[:, :-1]], axis=1
         )
         if args.last_action:
             eval_in = jnp.concatenate([eval_obs, prev_u], axis=-1)
-            tgt_in = jnp.concatenate([o_next, u_onehot], axis=-1)
+            tgt_in = jnp.concatenate([tgt_obs, u_onehot], axis=-1)
         else:
-            eval_in, tgt_in = eval_obs, o_next
+            eval_in, tgt_in = eval_obs, tgt_obs
         return eval_in, tgt_in
 
     def loss_fn(params, target_params, batch):
         eval_in, tgt_in = build_inputs(batch)
         u = batch["u"].astype(jnp.int32)                     # (b,T,N,1)
         r = batch["r"].astype(jnp.float32)                   # (b,T,1)
-        avail_next = batch["avail_u_next"].astype(jnp.float32)
+        avail_next = batch["avail"].astype(jnp.float32)
         terminated = batch["terminated"].astype(jnp.float32)
         mask = 1.0 - batch["padded"].astype(jnp.float32)     # (b,T,1)
 
@@ -141,9 +143,12 @@ def make_learner(args, env):
         q_t = jnp.where(avail_next == 0.0, -9999999.0, q_targets).max(axis=3)
 
         if use_qmix:
-            q_tot_e = mixer.apply({"params": params["mixer"]}, q_e, batch["s"])
+            s_ext = batch["s_ext"].astype(jnp.float32)
+            q_tot_e = mixer.apply(
+                {"params": params["mixer"]}, q_e, s_ext[:, :-1]
+            )
             q_tot_t = mixer.apply(
-                {"params": target_params["mixer"]}, q_t, batch["s_next"]
+                {"params": target_params["mixer"]}, q_t, s_ext[:, 1:]
             )
         else:
             q_tot_e = vdn_mix(q_e)

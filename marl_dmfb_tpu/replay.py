@@ -37,29 +37,43 @@ def init_replay(
     obs_dtype=jnp.int8,
     state_dim: Optional[int] = None,
 ) -> ReplayState:
+    """Episode storage schema.
+
+    Memory-deduplicated vs the reference's layout (replay_buffer.py:17-26):
+    ``o``/``o_next`` overlap by one step (o_next[t] == o[t+1] while live),
+    so ONE ``o_ext`` array of length T+1 stores both views —
+    ``o = o_ext[:, :T]``, ``o_next = o_ext[:, 1:]`` — halving the dominant
+    buffer (a 10k-episode MEDA buffer would not fit HBM otherwise).
+    Likewise ``avail`` stores the single availability mask the reference
+    duplicates into avail_u/avail_u_next, and the QMIX global state is
+    ``s_ext`` (T+1, int8 — the state layers are small integer ids).
+    The learner's masked loss is IDENTICAL: derived views only differ at
+    padded timesteps, which are masked out (and the eval-stream input at
+    the first padded step actually matches the reference's o_next[t-1]
+    exactly, vdn.py:139-148).
+    """
     S, T, N, A = capacity, episode_limit, n_agents, n_actions
     data = {
-        "o": jnp.zeros((S, T, N, obs_dim), obs_dtype),
+        "o_ext": jnp.zeros((S, T + 1, N, obs_dim), obs_dtype),
         "u": jnp.zeros((S, T, N, 1), jnp.int8),
         "r": jnp.zeros((S, T, 1), jnp.float32),
-        "o_next": jnp.zeros((S, T, N, obs_dim), obs_dtype),
-        "avail_u": jnp.zeros((S, T, N, A), jnp.int8),
-        "avail_u_next": jnp.zeros((S, T, N, A), jnp.int8),
+        "avail": jnp.zeros((S, T, N, A), jnp.int8),
         "u_onehot": jnp.zeros((S, T, N, A), jnp.int8),
         "padded": jnp.zeros((S, T, 1), bool),
         "terminated": jnp.zeros((S, T, 1), bool),
     }
     if state_dim is not None:
-        data["s"] = jnp.zeros((S, T, state_dim), jnp.float32)
-        data["s_next"] = jnp.zeros((S, T, state_dim), jnp.float32)
+        data["s_ext"] = jnp.zeros((S, T + 1, state_dim), jnp.int8)
     return ReplayState(data=data, cursor=jnp.int32(0), size=jnp.int32(0))
 
 
-def store(replay: ReplayState, episodes: dict) -> ReplayState:
-    """Ring-write a batch of B episodes (each array (B, T, ...))."""
-    some = episodes["o"]
-    B = some.shape[0]
-    capacity = replay.data["o"].shape[0]
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _store_impl(replay: ReplayState, episodes: dict) -> ReplayState:
+    B = episodes["u"].shape[0]
+    capacity = replay.data["u"].shape[0]
     idx = (replay.cursor + jnp.arange(B)) % capacity
     data = {
         k: v.at[idx].set(episodes[k].astype(v.dtype))
@@ -70,6 +84,15 @@ def store(replay: ReplayState, episodes: dict) -> ReplayState:
         cursor=(replay.cursor + B) % capacity,
         size=jnp.minimum(replay.size + B, capacity),
     )
+
+
+def store(replay: ReplayState, episodes: dict) -> ReplayState:
+    """Ring-write a batch of B episodes (each array (B, T, ...)).
+
+    The buffer PyTree is DONATED: XLA writes in place, so peak memory stays
+    one buffer (a multi-GB buffer + functional copy would OOM the chip).
+    The caller must rebind: ``rb = store(rb, eps)``."""
+    return _store_impl(replay, episodes)
 
 
 def sample(replay: ReplayState, key: jax.Array, batch_size: int) -> dict:

@@ -95,8 +95,6 @@ def make_rollout(
                 rand_a = jax.random.randint(k_rand, (B, N), 0, A, jnp.int32)
                 explore = jax.random.uniform(k_expl, (B, N)) < eps
                 a = jnp.where(explore, rand_a, greedy_a)
-            if with_state:
-                s_t = jax.vmap(env.global_state)(states)
             new_states, out = jax.vmap(env.step)(states, a)
             states2 = _tree_where(live, new_states, states)
 
@@ -104,19 +102,16 @@ def make_rollout(
             lv = live
             lv3 = lv[:, None, None]
             trans = {
-                "o": jnp.where(lv3, obs, 0),
+                "o_next": jnp.where(lv3, out.obs, 0),
                 "u": jnp.where(lv3, a[..., None], 0),
                 "r": jnp.where(lv, out.team_reward, 0.0)[:, None],
-                "o_next": jnp.where(lv3, out.obs, 0),
-                "avail_u": jnp.where(lv3, jnp.ones((B, N, A), jnp.int8), 0),
-                "avail_u_next": jnp.where(lv3, jnp.ones((B, N, A), jnp.int8), 0),
+                "avail": jnp.where(lv3, jnp.ones((B, N, A), jnp.int8), 0),
                 "u_onehot": jnp.where(lv3, onehot, 0),
                 "padded": (~lv)[:, None],
                 "terminated": jnp.where(lv, out.terminated, True)[:, None],
             }
             if with_state:
                 s_next = jax.vmap(env.global_state)(new_states)
-                trans["s"] = jnp.where(lv[:, None], s_t, 0.0)
                 trans["s_next"] = jnp.where(lv[:, None], s_next, 0.0)
 
             metrics = (
@@ -147,6 +142,15 @@ def make_rollout(
         episodes = {
             k: jnp.moveaxis(v, 0, 1) for k, v in trans_t.items()
         }
+        # o/o_next as one length-(T+1) array (see replay.init_replay)
+        episodes["o_ext"] = jnp.concatenate(
+            [obs0[:, None], episodes.pop("o_next")], axis=1
+        )
+        if with_state:
+            s0 = jax.vmap(env.global_state)(env_states)
+            episodes["s_ext"] = jnp.concatenate(
+                [s0[:, None], episodes.pop("s_next")], axis=1
+            )
         rew_t, live_t, cons_t, succ_t = metrics_t
         reward = jnp.sum(rew_t, axis=0)
         exec_steps = jnp.sum(live_t, axis=0)

@@ -55,7 +55,7 @@ class TestMeshSharding:
             np.array(res_plain.reward), np.array(res_sh.reward), atol=1e-5
         )
         # outputs stay sharded on the batch axis
-        sh = res_sh.episodes["o"].sharding
+        sh = res_sh.episodes["o_ext"].sharding
         assert BATCH_AXIS in str(sh.spec) or sh.is_fully_replicated is False
 
     def test_full_training_step_on_mesh(self, setup):

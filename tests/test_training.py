@@ -33,12 +33,10 @@ class TestReplay:
 
     def _episodes(self, B, T=3, N=2, D=4, A=5, fill=1):
         return {
-            "o": jnp.full((B, T, N, D), fill, jnp.int8),
+            "o_ext": jnp.full((B, T + 1, N, D), fill, jnp.int8),
             "u": jnp.zeros((B, T, N, 1), jnp.int8),
             "r": jnp.full((B, T, 1), float(fill)),
-            "o_next": jnp.full((B, T, N, D), fill, jnp.int8),
-            "avail_u": jnp.ones((B, T, N, A), jnp.int8),
-            "avail_u_next": jnp.ones((B, T, N, A), jnp.int8),
+            "avail": jnp.ones((B, T, N, A), jnp.int8),
             "u_onehot": jnp.zeros((B, T, N, A), jnp.int8),
             "padded": jnp.zeros((B, T, 1), bool),
             "terminated": jnp.zeros((B, T, 1), bool),
@@ -58,7 +56,7 @@ class TestReplay:
         rb = self._mk()
         rb = replay_lib.store(rb, self._episodes(2))
         batch = replay_lib.sample(rb, jax.random.PRNGKey(0), 4)
-        assert batch["o"].shape == (4, 3, 2, 4)
+        assert batch["o_ext"].shape == (4, 4, 2, 4)
         assert np.array(batch["r"]).min() == 1.0  # only stored episodes
 
 
@@ -89,17 +87,12 @@ class TestRollout:
         T = self.env.episode_limit
         B = self.args.rollout_batch
         ep = res.episodes
-        assert ep["o"].shape == (B, T, 2, self.env.params.obs_dim)
-        assert ep["o"].dtype == jnp.int8
-        # o[t+1] == o_next[t] while both steps live
-        o = np.array(ep["o"], np.int32)
-        o_next = np.array(ep["o_next"], np.int32)
+        assert ep["o_ext"].shape == (B, T + 1, 2, self.env.params.obs_dim)
+        assert ep["o_ext"].dtype == jnp.int8
         padded = np.array(ep["padded"])[:, :, 0]
-        for b in range(B):
-            for t in range(T - 1):
-                if not padded[b, t + 1]:
-                    np.testing.assert_array_equal(o[b, t + 1], o_next[b, t])
-        # after termination: padded=1, terminated=1, zeros
+        o_ext = np.array(ep["o_ext"], np.int32)
+        # after termination: padded=1, terminated=1, obs zeroed past the
+        # terminal observation
         term = np.array(ep["terminated"])[:, :, 0]
         for b in range(B):
             idx = np.where(term[b])[0]
@@ -109,7 +102,9 @@ class TestRollout:
             if t_end + 1 < T:
                 assert padded[b, t_end + 1 :].all()
                 assert term[b, t_end + 1 :].all()
-                assert (o[b, t_end + 1 :] == 0).all()
+                # o_ext[t_end+1] is the terminal obs; beyond that, zeros
+                assert (o_ext[b, t_end + 2 :] == 0).all()
+                assert (o_ext[b, t_end + 1] != 0).any()
 
     def test_epsilon_annealing_and_metrics(self):
         res = self._rollout()
@@ -157,7 +152,8 @@ class TestLearner:
     def test_qmix_loss_decreases_on_fixed_batch(self):
         args, env, init, learn, lstate, res = self._setup("qmix")
         batch = {k: v for k, v in res.episodes.items()}
-        assert "s" in batch and batch["s"].shape[-1] == args.state_shape
+        assert "s_ext" in batch
+        assert batch["s_ext"].shape[-1] == args.state_shape
         losses = []
         for _ in range(30):
             lstate, loss = learn(lstate, batch)
