@@ -68,6 +68,13 @@ class DMFBParams:
             raise ValueError("board must be at least 5x5")
         if self.fov % 2 != 1:
             raise ValueError("fov must be odd")
+        if _spacing_p_valid(self.width, self.length, self.n_droplets) < 1e-6:
+            raise ValueError(
+                f"{self.n_droplets} droplets on a {self.width}x{self.length} "
+                "board: random task generation is statistically infeasible "
+                "(the reference's rejection loop would not terminate); use a "
+                "larger board"
+            )
 
     @property
     def max_step(self) -> int:
@@ -149,20 +156,41 @@ def _pairwise_sq_dist(points: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-_GEN_ROUNDS = 32  # P(all rounds invalid) is astronomically small; see below
+def _spacing_p_valid(width: int, length: int, n_droplets: int) -> float:
+    """Estimated probability one uniform draw of 2N cells satisfies the
+    pairwise sq-dist > 2 constraint (independent-pair approximation: a pair
+    violates iff within the 9-cell kings neighborhood)."""
+    n2 = 2 * n_droplets
+    pairs = n2 * (n2 - 1) / 2
+    return float((1.0 - 9.0 / (width * length)) ** pairs)
+
+
+def _gen_rounds(params: "DMFBParams") -> int:
+    """Candidate rounds sized so the deterministic fallback is ~e^-8
+    unlikely.  Crowded configs get more rounds; infeasible ones are rejected
+    at params construction (the reference's unbounded rejection loop,
+    dmfb.py:220-226, would simply never terminate there)."""
+    p = _spacing_p_valid(params.width, params.length, params.n_droplets)
+    return min(4096, max(32, int(8.0 / max(p, 1e-9))))
 
 
 def _fallback_lattice(params: DMFBParams) -> jnp.ndarray:
-    """Deterministic valid placement (spacing 3 => sq dist >= 9 > 2), used
-    only in the ~(p_invalid)^32 event that every sampled round violates the
-    spacing constraint — keeps the generator total without a while_loop."""
+    """Deterministic valid placement, used only in the ~(p_invalid)^32 event
+    that every sampled round violates the spacing constraint — keeps the
+    generator total without a while_loop.  Spacing-2 grid: any two distinct
+    points differ by >= 2 on some axis, so pairwise sq dist >= 4 > 2.  (This
+    is also the densest valid packing — the constraint graph is the king
+    graph, whose max independent set is ceil(w/2)*ceil(l/2).)"""
     import numpy as np
 
-    xs = np.arange(0, params.width, 3)
-    ys = np.arange(0, params.length, 3)
+    xs = np.arange(0, params.width, 2)
+    ys = np.arange(0, params.length, 2)
     grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
     need = 2 * params.n_droplets
-    assert grid.shape[0] >= need, "board too small for fallback lattice"
+    assert grid.shape[0] >= need, (
+        f"{params.n_droplets} droplets need {need} cells with spacing > sqrt2;"
+        f" a {params.width}x{params.length} board fits at most {grid.shape[0]}"
+    )
     return jnp.asarray(grid[:need], jnp.int32)
 
 
@@ -175,10 +203,11 @@ def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
     rejection sampling, but a branch-free fixed-shape program (no
     while_loop, no per-iteration device sync)."""
     n2 = 2 * params.n_droplets
+    rounds = _gen_rounds(params)
     big = jnp.int32(10 ** 9)
     kx, ky = jax.random.split(key)
-    x = jax.random.randint(kx, (_GEN_ROUNDS, n2), 0, params.width, jnp.int32)
-    y = jax.random.randint(ky, (_GEN_ROUNDS, n2), 0, params.length, jnp.int32)
+    x = jax.random.randint(kx, (rounds, n2), 0, params.width, jnp.int32)
+    y = jax.random.randint(ky, (rounds, n2), 0, params.length, jnp.int32)
     cand = jnp.stack([x, y], axis=-1)                      # (R, 2N, 2)
     d = cand[:, :, None, :] - cand[:, None, :, :]
     sq = jnp.sum(d * d, axis=-1) + jnp.eye(n2, dtype=jnp.int32) * big

@@ -220,10 +220,16 @@ class Trainer:
         )
         return int(jnp.sum(result.steps))
 
-    def run(self, online_evaluate: bool = True):
-        """Main loop (reference train.py:32-93)."""
+    def run(self, online_evaluate: bool = True,
+            profile_dir: Optional[str] = None):
+        """Main loop (reference train.py:32-93).
+
+        ``profile_dir``: capture a jax.profiler trace of one representative
+        collect+learn cycle (the reference only ever logged wall-clock
+        spans, SURVEY §5)."""
         args = self.args
         time_steps, evaluate_steps = 0, -1
+        profiled = False
         start = time.time()
         while time_steps < args.total_env_steps:
             if time_steps // args.evaluate_cycle > evaluate_steps:
@@ -249,7 +255,12 @@ class Trainer:
                     ),
                     flush=True,
                 )
-            time_steps += self.train_cycle()
+            if profile_dir is not None and not profiled and time_steps > 0:
+                with jax.profiler.trace(profile_dir):
+                    time_steps += self.train_cycle()
+                profiled = True
+            else:
+                time_steps += self.train_cycle()
         self.save_model("final")
         self.time_cost.append(time.time() - start)
         if online_evaluate:
