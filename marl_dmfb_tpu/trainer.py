@@ -53,10 +53,14 @@ from marl_dmfb_tpu.rollout import make_rollout, summarize_eval
 
 
 def model_state_path(args: Args, tag) -> str:
+    """Checkpoint dir for a tag: "final"/"3" are prefixed with the current
+    run id; a run-prefixed tag like "0_final" addresses that run directly
+    (so e.g. run 1 can resume from run 0's checkpoint)."""
     model_dir = os.path.join(
         args.data_dir, args.model_dir.lstrip("./"), args.alg, f"fov{args.fov}"
     )
-    return os.path.join(model_dir, f"{args.ith_run}_{tag}_state")
+    name = f"{tag}_state" if "_" in str(tag) else f"{args.ith_run}_{tag}_state"
+    return os.path.join(model_dir, name)
 
 
 def restore_net_config(args: Args, tag) -> Args:
@@ -183,14 +187,33 @@ class Trainer:
         return path
 
     def load_model(self, tag):
-        path = os.path.join(
-            self.model_dir, f"{self.args.ith_run}_{tag}_state"
-        )
+        path = model_state_path(self.args, tag)
         tree = ckpt.restore(path)
         from marl_dmfb_tpu.algos.qlearn import LearnerState
 
-        self.learner_state = LearnerState(**tree["learner"])
-        self.epsilon = tree["epsilon"]
+        def restructure(template, data):
+            # Orbax restores NamedTuples (optax states) as plain dicts;
+            # rebuild onto the live structure.  Dict keys flatten in sorted
+            # order on both sides, and optax's state fields happen to be
+            # alphabetical, so leaf order is preserved — asserted here.
+            treedef = jax.tree.structure(template)
+            leaves = jax.tree.leaves(data)
+            assert len(leaves) == treedef.num_leaves, (
+                f"checkpoint structure mismatch: {len(leaves)} leaves vs "
+                f"{treedef.num_leaves} expected"
+            )
+            return jax.tree.unflatten(treedef, leaves)
+
+        fresh = self.learner_state
+        self.learner_state = LearnerState(
+            params=restructure(fresh.params, tree["learner"]["params"]),
+            target_params=restructure(
+                fresh.target_params, tree["learner"]["target_params"]
+            ),
+            opt_state=restructure(fresh.opt_state, tree["learner"]["opt_state"]),
+            train_step=jnp.asarray(tree["learner"]["train_step"]),
+        )
+        self.epsilon = jnp.asarray(tree["epsilon"])
 
     def train_cycle(self):
         """One collect+learn cycle; returns env steps consumed."""

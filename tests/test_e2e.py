@@ -45,3 +45,27 @@ class TestEndToEnd:
 
     def test_vdn_meda(self, tmp_path):
         run_short(tmp_path, "meda", "vdn")
+
+
+class TestResume:
+    def test_training_resumes_from_checkpoint(self, tmp_path):
+        """Save mid-training, reload into a fresh Trainer, and take more
+        gradient steps — the optax state must restore structurally."""
+        args = Args(
+            name="dmfb", alg="vdn", drop_num=2, fov=5,
+            batch_size=8, buffer_size=32, n_parallel_envs=4,
+            evaluate_task=4, evaluate_cycle=300, n_steps=350,
+            anneal_steps=500, data_dir=str(tmp_path),
+        )
+        args.width = args.length = 5
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        t1 = Trainer(env, args)
+        t1.train_cycle()
+        t1.save_model("mid")
+        step_before = int(t1.learner_state.train_step)
+
+        t2 = Trainer(env, args)
+        t2.load_model("mid")
+        assert int(t2.learner_state.train_step) == step_before
+        t2.train_cycle()  # exercises the restored optimizer state
+        assert int(t2.learner_state.train_step) > step_before
