@@ -110,13 +110,12 @@ def make_learner(args, env):
         _, q_t = jax.lax.scan(cell, h0, x_tb)
         return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
 
-    def build_inputs(batch):
+    def build_inputs(batch, u_onehot):
         # o_ext stores o and o_next as one length-(T+1) array (see
         # replay.init_replay): eval-stream obs at t is exactly
         # o_ext[:, :T] == [o[0], o_next[0..T-2]] (vdn.py:139-148), the
         # target stream's is o_ext[:, 1:] == o_next.
         o_ext = batch["o_ext"].astype(jnp.float32)
-        u_onehot = batch["u_onehot"].astype(jnp.float32)
         eval_obs = o_ext[:, :-1]
         tgt_obs = o_ext[:, 1:]
         prev_u = jnp.concatenate(
@@ -130,12 +129,19 @@ def make_learner(args, env):
         return eval_in, tgt_in
 
     def loss_fn(params, target_params, batch):
-        eval_in, tgt_in = build_inputs(batch)
         u = batch["u"].astype(jnp.int32)                     # (b,T,N,1)
         r = batch["r"].astype(jnp.float32)                   # (b,T,1)
-        avail_next = batch["avail"].astype(jnp.float32)
         terminated = batch["terminated"].astype(jnp.float32)
         mask = 1.0 - batch["padded"].astype(jnp.float32)     # (b,T,1)
+        # derived tensors (not stored; see replay.init_replay): the action
+        # onehots are one_hot(u) masked to zero on padded steps, and the
+        # availability mask is all-ones on live steps / zero on padded —
+        # exactly what the reference stores (rollout.py:26-31, 137-139).
+        u_onehot = jax.nn.one_hot(u[..., 0], A) * mask[..., None]
+        avail_next = jnp.broadcast_to(
+            mask[..., None], u_onehot.shape
+        )
+        eval_in, tgt_in = build_inputs(batch, u_onehot)
 
         q_evals = unroll(params["agent"], eval_in)
         q_targets = unroll(target_params["agent"], tgt_in)

@@ -52,13 +52,12 @@ def init_replay(
     the first padded step actually matches the reference's o_next[t-1]
     exactly, vdn.py:139-148).
     """
-    S, T, N, A = capacity, episode_limit, n_agents, n_actions
+    S, T, N = capacity, episode_limit, n_agents
+    del n_actions  # onehots/avail masks are derived from (u, padded)
     data = {
         "o_ext": jnp.zeros((S, T + 1, N, obs_dim), obs_dtype),
         "u": jnp.zeros((S, T, N, 1), jnp.int8),
         "r": jnp.zeros((S, T, 1), jnp.float32),
-        "avail": jnp.zeros((S, T, N, A), jnp.int8),
-        "u_onehot": jnp.zeros((S, T, N, A), jnp.int8),
         "padded": jnp.zeros((S, T, 1), bool),
         "terminated": jnp.zeros((S, T, 1), bool),
     }

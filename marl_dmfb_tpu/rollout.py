@@ -101,12 +101,13 @@ def make_rollout(
             onehot = jax.nn.one_hot(a, A, dtype=jnp.float32)
             lv = live
             lv3 = lv[:, None, None]
+            # stored tensors are minimal: availability masks and action
+            # onehots are derivable from (u, padded) and reconstructed at
+            # learn time (replay.init_replay docstring)
             trans = {
                 "o_next": jnp.where(lv3, out.obs, 0),
                 "u": jnp.where(lv3, a[..., None], 0),
                 "r": jnp.where(lv, out.team_reward, 0.0)[:, None],
-                "avail": jnp.where(lv3, jnp.ones((B, N, A), jnp.int8), 0),
-                "u_onehot": jnp.where(lv3, onehot, 0),
                 "padded": (~lv)[:, None],
                 "terminated": jnp.where(lv, out.terminated, True)[:, None],
             }

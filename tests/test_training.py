@@ -36,8 +36,6 @@ class TestReplay:
             "o_ext": jnp.full((B, T + 1, N, D), fill, jnp.int8),
             "u": jnp.zeros((B, T, N, 1), jnp.int8),
             "r": jnp.full((B, T, 1), float(fill)),
-            "avail": jnp.ones((B, T, N, A), jnp.int8),
-            "u_onehot": jnp.zeros((B, T, N, A), jnp.int8),
             "padded": jnp.zeros((B, T, 1), bool),
             "terminated": jnp.zeros((B, T, 1), bool),
         }
