@@ -32,6 +32,16 @@ from marl_dmfb_tpu.trainer import Trainer, restore_net_config
 N_RUNS = 5  # evaDegre.py:36
 
 
+def degre_dir(args) -> str:
+    """Output directory for the sweep npys (reference evaDegre.py:47-49's
+    ``<W>by<L>-<n>d<b>b`` label; non-square chips like MEDA 30x60 keep both
+    dimensions)."""
+    return os.path.join(
+        args.data_dir, "DegreData",
+        f"{args.width}by{args.length}-{args.drop_num}d{args.block_num}b",
+    )
+
+
 def main():
     args = get_evaluate_args()
     args.b_degrade = True
@@ -89,10 +99,7 @@ def main():
         print(f"epoch {epoch}: success {success[:, epoch].mean():.3f} "
               f"steps {steps[:, epoch].mean():.1f}", flush=True)
 
-    path = os.path.join(
-        args.data_dir, "DegreData",
-        f"{args.width}by{args.width}-{args.drop_num}d{args.block_num}b",
-    )
+    path = degre_dir(args)
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "rewards.npy"), rewards)
     np.save(os.path.join(path, "steps.npy"), steps)

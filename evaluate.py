@@ -11,10 +11,82 @@ from marl_dmfb_tpu.utils import apply_platform_env
 
 apply_platform_env()
 
+import os
 import time
 
 from marl_dmfb_tpu.config import get_evaluate_args, make_env_from_args
 from marl_dmfb_tpu.trainer import Trainer, restore_net_config
+
+
+def evaluate_rendered(trainer: Trainer, args) -> dict:
+    """Rendered evaluation (reference evaluate.py:13-16: with ``--show`` /
+    ``--show_save`` every evaluation episode is rendered via env.render
+    inside Evaluator.one_step, rollout.py:19-39 + dmfb.py:642-720).
+
+    Host-side episode loop with the procedural Renderer; the metrics use
+    the same accounting as the fused path (failed episodes count as
+    ``episode_limit`` steps, rollout.py:147-149)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from marl_dmfb_tpu.render import Renderer
+
+    env, net = trainer.env, trainer.net
+    theta = trainer.learner_state.params["agent"]
+    N, A, H = args.n_agents, args.n_actions, args.rnn_hidden_dim
+
+    @jax.jit
+    def act(obs, last_oh, h):
+        x = jnp.concatenate([obs.astype(jnp.float32), last_oh], -1)
+        q, h2 = net.apply({"params": theta}, x, h)
+        return jnp.argmax(q, -1).astype(jnp.int32), h2
+
+    step = jax.jit(env.step)
+    reset = jax.jit(env.reset, static_argnames=("new",))
+    save_path = None
+    if args.show_save:
+        save_path = os.path.join(
+            args.data_dir, "video",
+            f"eval-{args.width}by{args.length}-"
+            f"{args.drop_num}d{args.block_num}b.mp4",
+        )
+    renderer = Renderer(env, show=args.show, save_path=save_path)
+    state = env.init(jax.random.PRNGKey(args.seed))
+    T = env.episode_limit
+    rewards, steps, cons, succ = [], [], [], []
+    for _ in range(int(args.evaluate_task)):
+        state = reset(state)
+        h = jnp.zeros((N, H))
+        last = jnp.zeros((N, A))
+        renderer.draw(state)
+        ep_r, ep_c, ok, t_used = 0.0, 0, 0, T
+        for t in range(T):
+            obs = env.observe(state)
+            a, h = act(obs, last, h)
+            last = jax.nn.one_hot(a, A)
+            state, out = step(state, a)
+            renderer.draw(state)
+            ep_r += float(out.team_reward)
+            ep_c += int(out.constraints)
+            if bool(out.terminated):
+                ok = int(out.success)
+                if ok:
+                    t_used = t + 1
+                break
+        rewards.append(ep_r)
+        steps.append(t_used)
+        cons.append(ep_c)
+        succ.append(ok)
+    renderer.close()
+    if save_path is not None:
+        print("video saved to", getattr(renderer, "video_path", save_path))
+    return {
+        "reward": float(np.mean(rewards)),
+        "steps": float(np.mean(steps)),
+        "constraints": float(np.mean(cons)),
+        "success_rate": float(np.mean(succ)),
+    }
 
 
 def main():
@@ -32,7 +104,10 @@ def main():
     if tag is not None:
         trainer.load_model(tag)
     start = time.time()
-    m = trainer.evaluate()
+    if args.show or args.show_save:
+        m = evaluate_rendered(trainer, args)
+    else:
+        m = trainer.evaluate()
     print("time:", time.time() - start)
     print("The average total_rewards of {} is  {}".format(args.alg, m["reward"]))
     print("The average total_steps is: {}".format(m["steps"]))

@@ -25,25 +25,32 @@ def restore(path: str, like: Any = None) -> Any:
 
     Arrays are restored host-side (NumPy) and transferred to device on
     first use: restoring straight to a tunneled TPU issues one RPC per
-    array and takes minutes for large trees."""
-    path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
-    try:
-        import numpy as np
+    array and takes minutes for large trees.
 
-        meta = ckptr.metadata(path)
-        tree = getattr(meta, "item_metadata", meta)
-        tree = getattr(tree, "tree", tree)
-        restore_args = jax.tree.map(
-            lambda m: ocp.RestoreArgs(restore_type=np.ndarray)
-            if hasattr(m, "shape") else ocp.RestoreArgs(),
-            tree,
-        )
-        return ckptr.restore(path, restore_args=restore_args)
-    except Exception:
+    Raises ``FileNotFoundError`` for a missing checkpoint and propagates
+    corruption errors loudly (a corrupt checkpoint must never silently fall
+    through to a different restore mode)."""
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no checkpoint directory at {path}")
+    ckptr = ocp.PyTreeCheckpointer()
+    import numpy as np
+
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    if tree is None:
+        # metadata-less layout (older orbax format): restore directly,
+        # optionally against a template tree
         if like is None:
             return ckptr.restore(path)
         return ckptr.restore(path, item=like)
+    restore_args = jax.tree.map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray)
+        if hasattr(m, "shape") else ocp.RestoreArgs(),
+        tree,
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def latest_step_dir(root: str, prefix: str) -> str | None:

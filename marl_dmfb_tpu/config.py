@@ -90,6 +90,7 @@ class Args:
     # --- TPU-native additions ---
     n_parallel_envs: int = 0      # 0 -> auto (n_episodes for parity runs)
     data_dir: str = ""            # output root (replaces the chdir quirk)
+    mesh: str = "auto"            # device mesh: auto | off | <n_devices>
 
     def apply_env_defaults(self):
         """set_default (arguments.py:57-81)."""
@@ -169,6 +170,10 @@ def _common_parser() -> argparse.ArgumentParser:
                    help="TPU: number of envs simulated in lockstep (0=auto)")
     p.add_argument("--data_dir", type=str, default="",
                    help="output root (default data-<env>/, like the reference)")
+    p.add_argument("--mesh", type=str, default="auto",
+                   help="device mesh for sharded training: 'auto' (all "
+                        "devices when >1), 'off' (single device), or a "
+                        "device count")
     return p
 
 

@@ -31,13 +31,14 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Action encoding (reference dmfb.py:26-31, 103-124).
 STALL, RIGHT, LEFT, DOWN, UP = 0, 1, 2, 3, 4
 # Per-action (dx, dy); row index = action id.
-_ACTION_DELTAS = jnp.array(
-    [[0, 0], [1, 0], [-1, 0], [0, -1], [0, 1]], dtype=jnp.int32
+_ACTION_DELTAS = np.array(  # np: import must not init the backend (multi-host)
+    [[0, 0], [1, 0], [-1, 0], [0, -1], [0, 1]], dtype=np.int32
 )
 
 N_ACTIONS = 5
@@ -233,47 +234,51 @@ def generate_blocks(
     if params.n_blocks * 4 / (params.width * params.length) > 0.2:
         return mask
 
+    # Start/end cells as an occupancy map (Block.isPointInside,
+    # dmfb.py:47-54).
     pts = jnp.concatenate([starts, ends], axis=0)  # (2N, 2)
+    ix = jnp.arange(params.width, dtype=jnp.int32)[:, None]
+    iy = jnp.arange(params.length, dtype=jnp.int32)[None, :]
+    pt_map = jnp.any(
+        (ix[None] == pts[:, 0, None, None]) & (iy[None] == pts[:, 1, None, None]),
+        axis=0,
+    )
 
-    def block_bad(x, y, mask):
-        # contains a start/end cell? (Block.isPointInside, dmfb.py:47-54)
-        inside = (
-            (pts[:, 0] >= x) & (pts[:, 0] <= x + 1)
-            & (pts[:, 1] >= y) & (pts[:, 1] <= y + 1)
+    # The reference rejection-samples an anchor uniformly over
+    # [0, W-4] x [0, L-4] until the 2x2 block neither contains a task cell
+    # nor overlaps an existing block (dmfb.py:236-245) — i.e. the accepted
+    # anchor is uniform over the VALID positions.  TPU-native exact
+    # equivalent with no while_loop (CLAUDE.md: while_loops under vmapped
+    # reset blew compile time): compute the validity map for ALL anchors in
+    # one shot (a 2x2 window-OR via shifts) and sample one uniformly via a
+    # masked Gumbel argmax.  If no valid anchor exists the block is skipped
+    # (the reference would spin forever, dmfb.py:236-245).
+    nx, ny = params.width - 3, params.length - 3  # anchors: [0,W-4]x[0,L-4]
+
+    def valid_anchors(mask):
+        occ = pt_map | mask
+        # bad(x, y) = any occupied cell in {x, x+1} x {y, y+1}
+        p = jnp.pad(occ, ((0, 1), (0, 1)))
+        bad = p[:-1, :-1] | p[1:, :-1] | p[:-1, 1:] | p[1:, 1:]
+        return ~bad[:nx, :ny]
+
+    xs = jnp.arange(nx, dtype=jnp.int32)
+    ys = jnp.arange(ny, dtype=jnp.int32)
+
+    def place_one(mask, k):
+        valid = valid_anchors(mask)
+        logits = jnp.where(valid.reshape(-1), 0.0, -jnp.inf)
+        g = jax.random.gumbel(k, (nx * ny,))
+        flat = jnp.argmax(logits + g)
+        x, y = xs[flat // ny], ys[flat % ny]
+        patch = (
+            (ix - x < 2) & (ix - x >= 0) & (iy - y < 2) & (iy - y >= 0)
         )
-        # overlaps an existing block? (filled 2x2 rects overlap iff they
-        # share a cell, Block.isBlockOverlap dmfb.py:56-69)
-        cells = lax.dynamic_slice(
-            jnp.pad(mask, ((0, 2), (0, 2))), (x, y), (2, 2)
-        )
-        return jnp.any(inside) | jnp.any(cells)
-
-    def gen_one(key, mask):
-        def cond(carry):
-            key, x, y = carry
-            return block_bad(x, y, mask)
-
-        def body(carry):
-            key, _, _ = carry
-            key, kx, ky = jax.random.split(key, 3)
-            x = jax.random.randint(kx, (), 0, params.width - 3, dtype=jnp.int32)
-            y = jax.random.randint(ky, (), 0, params.length - 3, dtype=jnp.int32)
-            return key, x, y
-
-        key, kx, ky = jax.random.split(key, 3)
-        x0 = jax.random.randint(kx, (), 0, params.width - 3, dtype=jnp.int32)
-        y0 = jax.random.randint(ky, (), 0, params.length - 3, dtype=jnp.int32)
-        _, x, y = lax.while_loop(cond, body, (key, x0, y0))
-        patch = lax.dynamic_update_slice(
-            jnp.pad(jnp.zeros_like(mask), ((0, 2), (0, 2))),
-            jnp.ones((2, 2), dtype=bool),
-            (x, y),
-        )[: params.width, : params.length]
-        return mask | patch
+        return mask | (patch & jnp.any(valid))
 
     keys = jax.random.split(key, params.n_blocks)
     for k in range(params.n_blocks):  # static, tiny
-        mask = gen_one(keys[k], mask)
+        mask = place_one(mask, keys[k])
     return mask
 
 

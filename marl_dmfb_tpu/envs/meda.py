@@ -32,6 +32,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from marl_dmfb_tpu.envs.dmfb import StepOutput  # shared output structure
@@ -41,7 +42,7 @@ RADIUS = 2  # reference meda.py:150 (self.r = 2) -> 5x5-cell droplets
 
 # Per-action (dx, dy): N,E,S,W step 3; diagonals step 2 (meda.py:106-130,
 # where move() hardcodes r=3 and diagonals shift r-1).
-_ACTION_DELTAS = jnp.array(
+_ACTION_DELTAS = np.array(  # np: import must not init the backend (multi-host)
     [
         [0, -3],   # N
         [3, 0],    # E

@@ -64,11 +64,17 @@ def _bind(mod, params) -> dict:
 def make_env(name: str = "dmfb", version: str | None = None, **kwargs) -> Env:
     """Build an environment bundle.
 
-    ``version`` mirrors the reference CLI (``common/config.py``): for dmfb,
-    ``'0.1'`` selects the 4-layer observation variant; for meda ``'0.1'`` /
-    ``'0.2'`` select those observation encodings (the reference CLI maps
-    ``'0.2'`` to the base encoding, common/config.py:14-18 — pass
-    ``obs_version='v0.2'`` explicitly for the true v0.2).
+    ``version`` follows the reference CLI flags (``common/config.py``): for
+    dmfb, ``'0.1'`` selects the 4-layer observation variant; for meda
+    ``'0.1'``/``'0.2'`` select those observation encodings.
+
+    DELIBERATE DEVIATION from the reference's mapping: the reference CLI
+    maps its meda default ``'0.2'`` to the BASE v0 encoding because
+    ``MEDAEnv_v0_2`` is unreachable from ``config()``
+    (common/config.py:14-18) — and reference MEDA *training* crashes either
+    way (scalar obs_shape, SURVEY §2.2).  Here ``'0.2'`` means the actual
+    v0.2 encoding, making it the trainable default; pass
+    ``obs_version='v0'`` to reproduce the reference's literal mapping.
     """
     obs_version = kwargs.pop("obs_version", None)
     if obs_version is None:

@@ -20,13 +20,22 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Initialize the multi-host runtime (idempotent; no-op single-host).
+) -> bool:
+    """Initialize the multi-host runtime; returns True when the process is
+    part of a multi-process job afterwards.
 
-    With TPU metadata available all arguments are auto-detected; on other
-    platforms pass them or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID.
+    Callers opt in explicitly (train.py gates on JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / MARL_DMFB_DISTRIBUTED), so initialization failures
+    propagate loudly instead of silently degrading to single-process.
+
+    With TPU pod metadata available all arguments are auto-detected; on
+    other platforms pass them or set JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     """
+    # NOTE: must not touch the backend (jax.devices/process_count) before
+    # initialize() — that would bind the runtime single-process.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -35,17 +44,15 @@ def init_distributed(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        # single-host (or TPU auto-detection inside initialize())
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process fallback
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # TPU-pod auto-detection inside initialize()
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count() > 1
 
 
 def local_batch_slice(global_batch: int) -> slice:

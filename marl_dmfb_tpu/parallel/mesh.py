@@ -30,6 +30,31 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
 
+def mesh_from_flag(flag: str) -> Optional[Mesh]:
+    """Resolve the ``--mesh`` CLI flag to a mesh (or None for single-device).
+
+    * ``"auto"``: mesh over all devices when more than one is visible
+      (multi-chip host or multi-host after ``jax.distributed.initialize``),
+      else no mesh;
+    * ``"off"``: no mesh;
+    * ``"<n>"``: mesh over the first n devices (n must be available).
+    """
+    flag = (flag or "auto").lower()
+    if flag == "off":
+        return None
+    devices = jax.devices()
+    if flag == "auto":
+        return make_mesh(devices) if len(devices) > 1 else None
+    n = int(flag)
+    if n <= 1:
+        return None
+    if n > len(devices):
+        raise ValueError(
+            f"--mesh={n} but only {len(devices)} devices are visible"
+        )
+    return make_mesh(devices[:n])
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place a PyTree with leading batch axes onto the mesh, sharded on
     axis 0.  Scalar/unbatched leaves are replicated."""

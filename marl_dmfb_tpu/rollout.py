@@ -14,9 +14,11 @@ Episode semantics preserved:
 * team reward is the mean over agents (rollout.py:33), terminated is
   all-agents (rollout.py:34), availability masks are all-ones
   (rollout.py:22);
-* epsilon anneals per env step within the scan and the final value is
-  returned for the trainer to carry across rollouts (rollout.py:113-115,
-  126-127, 146);
+* epsilon anneals per *executed* env step within the scan (the decrement is
+  scaled by the live fraction of the batch, so terminated episodes stop
+  consuming schedule exactly like the reference's per-step anneal) and the
+  final value is returned for the trainer to carry across rollouts
+  (rollout.py:113-115, 126-127, 146);
 * metrics: failed episodes count as ``episode_limit`` steps
   (rollout.py:147-149).
 """
@@ -122,8 +124,13 @@ def make_rollout(
                 jnp.where(lv, out.success, 0),
             )
             live_next = live & ~out.terminated
+            # anneal per EXECUTED env step: the reference decrements epsilon
+            # only while the episode is running (rollout.py:113-115,126-127),
+            # so scale the batched decrement by the live fraction — terminated
+            # (padded) episodes stop consuming schedule.
+            live_frac = jnp.mean(live.astype(jnp.float32))
             eps_next = eps if greedy else jnp.maximum(
-                min_epsilon, eps - anneal_per_step
+                min_epsilon, eps - anneal_per_step * live_frac
             )
             new_obs = jnp.where(lv3, out.obs, obs)
             new_last = jnp.where(lv3, onehot, last_oh)

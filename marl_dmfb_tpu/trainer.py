@@ -92,6 +92,14 @@ class Trainer:
         self.learner_state = self.init_learner(k_learn)
 
         B = args.rollout_batch
+        if mesh is not None:
+            # the rollout batch must tile the mesh; round up so every
+            # device simulates the same number of envs
+            n_dev = int(mesh.devices.size)
+            if B % n_dev:
+                B = ((B + n_dev - 1) // n_dev) * n_dev
+                print(f"mesh: rounding rollout batch up to {B} "
+                      f"({n_dev} devices)", flush=True)
         self.B = B
         self.env_states = jax.vmap(env.init)(jax.random.split(k_envs, B))
         self.eval_states = jax.vmap(env.init)(
@@ -118,6 +126,12 @@ class Trainer:
             obs_dtype=obs_dtype,
             state_dim=args.state_shape if self.use_state else None,
         )
+        if mesh is not None:
+            # buffer capacity sharded over the mesh (episodes live where
+            # they were collected; minibatch gathers ride ICI)
+            from marl_dmfb_tpu.parallel.mesh import shard_batch
+
+            self.replay = shard_batch(mesh, self.replay)
 
         self.epsilon = jnp.float32(args.epsilon)
         if args.epsilon_anneal_scale == "step":
@@ -195,13 +209,35 @@ class Trainer:
             # Orbax restores NamedTuples (optax states) as plain dicts;
             # rebuild onto the live structure.  Dict keys flatten in sorted
             # order on both sides, and optax's state fields happen to be
-            # alphabetical, so leaf order is preserved — asserted here.
+            # alphabetical, so leaf order is preserved — but that assumption
+            # is VERIFIED leaf-by-leaf (shape + dtype) so a checkpoint from a
+            # different optax/orbax layout fails loudly instead of silently
+            # permuting optimizer state.
             treedef = jax.tree.structure(template)
+            t_leaves = jax.tree.leaves(template)
             leaves = jax.tree.leaves(data)
-            assert len(leaves) == treedef.num_leaves, (
-                f"checkpoint structure mismatch: {len(leaves)} leaves vs "
-                f"{treedef.num_leaves} expected"
-            )
+            if len(leaves) != len(t_leaves):
+                raise ValueError(
+                    f"checkpoint structure mismatch at {path}: "
+                    f"{len(leaves)} leaves vs {len(t_leaves)} expected"
+                )
+            for i, (t, l) in enumerate(zip(t_leaves, leaves)):
+                ts = tuple(getattr(t, "shape", ()))
+                ls = tuple(getattr(l, "shape", ()))
+                if ts != ls:
+                    raise ValueError(
+                        f"checkpoint leaf {i} shape mismatch at {path}: "
+                        f"restored {ls} vs expected {ts}"
+                    )
+                td = getattr(t, "dtype", np.float32)
+                ld = getattr(l, "dtype", np.float32)
+                if jnp.issubdtype(td, jnp.floating) != jnp.issubdtype(
+                    ld, jnp.floating
+                ):
+                    raise ValueError(
+                        f"checkpoint leaf {i} dtype kind mismatch at {path}: "
+                        f"restored {ld} vs expected {td}"
+                    )
             return jax.tree.unflatten(treedef, leaves)
 
         fresh = self.learner_state
@@ -228,12 +264,16 @@ class Trainer:
         )
         self.env_states = result.env_states
         if self.args.epsilon_anneal_scale == "episode":
+            # reference decrements once per GENERATED episode
+            # (rollout.py:126-127 with train.py:59-66); a rollout collects B
+            # episodes, so decrement B schedule-steps, clamped.
             eps = float(self.epsilon)
-            if eps > self.args.min_epsilon:
-                eps -= (self.args.epsilon - self.args.min_epsilon) / (
-                    self.args.anneal_steps
-                )
-            self.epsilon = jnp.float32(eps)
+            dec = self.B * (
+                self.args.epsilon - self.args.min_epsilon
+            ) / self.args.anneal_steps
+            self.epsilon = jnp.float32(
+                max(self.args.min_epsilon, eps - dec)
+            )
         else:
             self.epsilon = result.epsilon
         self.replay = replay_lib.store(self.replay, result.episodes)

@@ -69,12 +69,20 @@ def _patch_random_seed():
     random.seed = tolerant_seed
 
 
+def _append_ref_path():
+    """APPEND (not insert) so reference top-level modules (train.py,
+    evaluate.py, ...) never shadow the repo's own entry points during the
+    same pytest session; only the collision-free ``env`` package is imported
+    from the reference."""
+    if REF_PATH not in sys.path:
+        sys.path.append(REF_PATH)
+
+
 def load_reference_dmfb():
     _stub_gym()
     _stub_numpy_compat()
     _patch_random_seed()
-    if REF_PATH not in sys.path:
-        sys.path.insert(0, REF_PATH)
+    _append_ref_path()
     return importlib.import_module("env.DMFB.dmfb")
 
 
@@ -82,8 +90,7 @@ def load_reference_meda():
     _stub_gym()
     _stub_numpy_compat()
     _patch_random_seed()
-    if REF_PATH not in sys.path:
-        sys.path.insert(0, REF_PATH)
+    _append_ref_path()
     return importlib.import_module("env.MEDA.meda")
 
 

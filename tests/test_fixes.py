@@ -1,0 +1,112 @@
+"""Regression tests for round-2 fixes: degradation-sweep output label,
+loud checkpoint failures, per-leaf restore validation, episode-scale
+epsilon annealing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_dmfb_tpu import checkpoint as ckpt
+from marl_dmfb_tpu.config import Args
+from marl_dmfb_tpu.envs import make_env
+from marl_dmfb_tpu.trainer import Trainer
+
+
+def small_args(tmp_path, **kw):
+    args = Args(
+        name="dmfb", alg="vdn", drop_num=2, fov=5,
+        batch_size=8, buffer_size=32, n_parallel_envs=4,
+        evaluate_task=4, evaluate_cycle=400, n_steps=700,
+        anneal_steps=500, data_dir=str(tmp_path),
+    )
+    args.width = args.length = 5
+    for k, v in kw.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_degre_dir_uses_length_for_nonsquare():
+    """eva_degrade output label must be <W>by<L> (reference evaDegre.py:47-49)
+    — regression for the {width}by{width} bug (wrong for MEDA 30x60)."""
+    from eva_degrade import degre_dir
+
+    args = Args(name="meda", drop_num=4)
+    args.width, args.length, args.data_dir = 30, 60, "/tmp/x"
+    assert degre_dir(args).endswith("DegreData/30by60-4d0b")
+
+
+def test_restore_missing_checkpoint_raises():
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore("/tmp/definitely/not/a/checkpoint/path")
+
+
+def test_load_model_rejects_mismatched_net(tmp_path):
+    """A checkpoint saved under different net dims must fail loudly
+    (per-leaf shape validation), not restore silently permuted state."""
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    t1 = Trainer(env, small_args(tmp_path))
+    t1.save_model("mismatch")
+
+    args2 = small_args(tmp_path, rnn_hidden_dim=32)
+    t2 = Trainer(env, args2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        t2.load_model("mismatch")
+
+
+def test_episode_anneal_scale_decrements_per_episode(tmp_path):
+    """With epsilon_anneal_scale == 'episode', a rollout of B episodes
+    consumes B schedule steps (reference decrements once per generated
+    episode, rollout.py:126-127 + train.py:59-66)."""
+    args = small_args(
+        tmp_path, epsilon_anneal_scale="episode", anneal_steps=100,
+        epsilon=1.0, min_epsilon=0.05,
+    )
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, args)
+    B = args.rollout_batch
+    tr.train_cycle()
+    expected = 1.0 - B * (1.0 - 0.05) / 100
+    assert float(tr.epsilon) == pytest.approx(expected, abs=1e-6)
+    # clamps at min_epsilon instead of going below
+    for _ in range(40):
+        tr.train_cycle()
+    assert float(tr.epsilon) == pytest.approx(0.05, abs=1e-6)
+
+
+def test_evaluate_rendered_writes_video_and_metrics(tmp_path):
+    """--show_save path of evaluate.py: rendered evaluation returns the
+    standard metric dict and writes an mp4 (reference evaluate.py:13-16)."""
+    import os
+
+    from evaluate import evaluate_rendered
+
+    args = small_args(tmp_path, evaluate_task=2, show=False, show_save=True)
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, args)
+    m = evaluate_rendered(tr, args)
+    assert set(m) == {"reward", "steps", "constraints", "success_rate"}
+    assert 0.0 <= m["success_rate"] <= 1.0
+    vids = os.listdir(os.path.join(str(tmp_path), "video"))
+    assert any(v.startswith("eval-5by5-2d0b") for v in vids)
+
+
+def test_blocks_generation_jits_under_vmapped_reset():
+    """n_blocks>0 reset must compile (no while_loop) and produce
+    non-overlapping blocks that avoid task cells."""
+    from marl_dmfb_tpu.envs import dmfb
+
+    params = dmfb.DMFBParams(width=10, length=10, n_droplets=2, fov=9,
+                             n_blocks=2)
+    env = make_env("dmfb", width=10, length=10, n_droplets=2, fov=9,
+                   n_blocks=2)
+    states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(0), 8))
+    states = jax.jit(jax.vmap(lambda s: env.reset(s, new=True)))(states)
+    masks = np.array(states.block_mask)
+    assert (masks.sum(axis=(1, 2)) == 2 * 4).all()
+    # no block contains a start or goal cell
+    pos = np.array(states.pos)
+    goal = np.array(states.goal)
+    for b in range(8):
+        for (x, y) in list(pos[b]) + list(goal[b]):
+            assert not masks[b, x, y]

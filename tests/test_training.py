@@ -107,9 +107,13 @@ class TestRollout:
     def test_epsilon_annealing_and_metrics(self):
         res = self._rollout()
         T = self.env.episode_limit
-        # epsilon decremented once per scan step
+        # epsilon decremented per EXECUTED env step (averaged over the
+        # batch): terminated episodes stop consuming schedule, matching the
+        # reference's per-step anneal (rollout.py:113-115,126-127).
+        padded = np.array(res.episodes["padded"])[:, :, 0]
+        executed = (~padded).sum() / padded.shape[0]
         assert float(res.epsilon) == pytest.approx(
-            max(0.05, 0.5 - 0.001 * T), abs=1e-6
+            max(0.05, 0.5 - 0.001 * executed), abs=1e-5
         )
         # failed episodes count episode_limit steps
         steps = np.array(res.steps)

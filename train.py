@@ -15,10 +15,28 @@ from marl_dmfb_tpu.config import get_train_args, make_env_from_args
 from marl_dmfb_tpu.trainer import Trainer
 
 
-def main():
-    args = get_train_args()
+def main(argv=None):
+    args = get_train_args(argv)
+    # multi-host SPMD: wire the JAX runtime across processes when a
+    # coordinator is configured (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    # env vars, or TPU pod metadata via MARL_DMFB_DISTRIBUTED=1); after this
+    # jax.devices() spans all hosts and the mesh below shards globally.
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_NUM_PROCESSES"
+    ) or os.environ.get("MARL_DMFB_DISTRIBUTED"):
+        from marl_dmfb_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
+    from marl_dmfb_tpu.parallel.mesh import mesh_from_flag
+
+    mesh = mesh_from_flag(args.mesh)
+    if mesh is not None:
+        print(f"mesh: {mesh.devices.size} devices, sharding env batch",
+              flush=True)
     env = make_env_from_args(args)
-    trainer = Trainer(env, args)
+    trainer = Trainer(env, args, mesh=mesh)
     if args.load_model:
         # resume from a full-state checkpoint (params, target, optimizer,
         # epsilon, PRNG — unlike the reference, which reloads weights only)
