@@ -69,6 +69,41 @@ def main(per_device_b=1024, iters=3):
             "vs_baseline": round(eff, 4),  # parallel efficiency vs 1 device
         }))
 
+    # Sharding-overhead probe: same TOTAL batch unsharded on one device vs
+    # sharded over all devices.  On virtual CPU devices (shared physical
+    # cores) the per-device efficiency above is core-bound and meaningless;
+    # this ratio isolates what the mesh program itself costs (partitioning +
+    # collectives) — ~1.0 means the sharded program is as fast as the
+    # single-device one on identical hardware resources.
+    if n_dev > 1:
+        B = per_device_b * n_dev
+        states = jax.vmap(env.init)(
+            jax.random.split(jax.random.PRNGKey(1), B)
+        )
+
+        def timed(st, theta):
+            res = rollout(theta, st, jax.random.PRNGKey(2), jnp.float32(1.0),
+                          jnp.float32(0.0), jnp.float32(0.05), greedy=False)
+            jax.block_until_ready(res.episodes["r"])
+            t0 = time.perf_counter()
+            for i in range(iters):
+                res = rollout(theta, res.env_states, jax.random.PRNGKey(3 + i),
+                              jnp.float32(1.0), jnp.float32(0.0),
+                              jnp.float32(0.05), greedy=False)
+            jax.block_until_ready(res.episodes["r"])
+            return B * T * iters / (time.perf_counter() - t0)
+
+        sps_plain = timed(states, lst.params["agent"])
+        mesh = make_mesh(jax.devices())
+        sps_sharded = timed(shard_batch(mesh, states),
+                            replicate(mesh, lst.params["agent"]))
+        print(json.dumps({
+            "metric": f"sharding_overhead_ratio_{n_dev}dev",
+            "value": round(sps_sharded / sps_plain, 4),
+            "unit": "sharded/unsharded throughput, same total batch",
+            "vs_baseline": round(sps_sharded / sps_plain, 4),
+        }))
+
 
 if __name__ == "__main__":
     import sys

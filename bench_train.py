@@ -22,9 +22,9 @@ from marl_dmfb_tpu.envs import make_env
 from marl_dmfb_tpu.rollout import make_rollout
 
 
-def main(B=1024, iters=3):
+def main(B=1024, iters=3, compute_dtype="float32"):
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
-                n_parallel_envs=B)
+                n_parallel_envs=B, compute_dtype=compute_dtype)
     args.apply_env_defaults()
     args.load_yaml()
     env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
@@ -82,4 +82,5 @@ def main(B=1024, iters=3):
 if __name__ == "__main__":
     import sys
 
-    main(B=int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    main(B=int(sys.argv[1]) if len(sys.argv) > 1 else 1024,
+         compute_dtype=sys.argv[2] if len(sys.argv) > 2 else "float32")

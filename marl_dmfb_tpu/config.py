@@ -91,6 +91,9 @@ class Args:
     n_parallel_envs: int = 0      # 0 -> auto (n_episodes for parity runs)
     data_dir: str = ""            # output root (replaces the chdir quirk)
     mesh: str = "auto"            # device mesh: auto | off | <n_devices>
+    compute_dtype: str = "float32"  # float32 (parity) | bf16 (MXU-native)
+    lr_decay: bool = False        # cosine lr decay (stabilizes large-B)
+    remat: bool = False           # rematerialize BPTT activations (HBM)
 
     def apply_env_defaults(self):
         """set_default (arguments.py:57-81)."""
@@ -174,6 +177,10 @@ def _common_parser() -> argparse.ArgumentParser:
                    help="device mesh for sharded training: 'auto' (all "
                         "devices when >1), 'off' (single device), or a "
                         "device count")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bf16"],
+                   help="net matmul/conv precision: bf16 uses the MXU's "
+                        "native format (f32 params + accumulation)")
     return p
 
 
@@ -187,12 +194,29 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
     p.add_argument("--replay_dir", type=str, default="")
     p.add_argument("--evaluate_cycle", type=int, default=100000)
     p.add_argument("--online_eval", default=True, action="store_false")
+    p.add_argument("--lr_decay", default=False, action="store_true",
+                   help="cosine lr decay to 5% over training (stabilizes "
+                        "large --n_parallel_envs runs)")
+    p.add_argument("--remat", default=False, action="store_true",
+                   help="rematerialize BPTT activations in the learn step "
+                        "(fits large MEDA configs in HBM at ~1.3x FLOPs)")
+    p.add_argument("--buffer_size", type=int, default=None,
+                   help="override the YAML replay capacity (episodes) — "
+                        "e.g. to fit large MEDA configs in 16GB HBM")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override the YAML learner minibatch (episodes)")
     ns = p.parse_args(argv)
     d = vars(ns)
     exact_steps = d.pop("exact_steps", 0)
+    overrides = {k: d.pop(k) for k in ("buffer_size", "batch_size")
+                 if d.get(k) is not None}
+    d.pop("buffer_size", None)
+    d.pop("batch_size", None)
     args = Args(**d)
     args.apply_env_defaults()
     args.load_yaml()
+    for k, v in overrides.items():  # CLI beats YAML
+        setattr(args, k, v)
     args.n_steps = exact_steps or args.n_steps * 100000  # arguments.py:106
     if pri:
         print("drop number:", args.drop_num)

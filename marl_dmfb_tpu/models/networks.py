@@ -17,11 +17,24 @@ The recurrent cell math matches ``torch.nn.GRUCell`` exactly
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _mm(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
+    """Matmul with optional reduced-precision compute: inputs cast to
+    ``dtype`` (e.g. bfloat16 — the MXU's native format), result upcast to
+    float32.  Params stay float32 throughout (standard mixed precision).
+    The multiply runs uniformly in ``dtype`` — mixing dtypes via
+    ``preferred_element_type`` breaks the conv/dot transpose rules (the f32
+    cotangent meets a bf16 saved operand in the VJP); the MXU still
+    accumulates bf16 products in float32 internally."""
+    if dtype is None:
+        return x @ w
+    return (x.astype(dtype) @ w.astype(dtype)).astype(jnp.float32)
 
 
 def _torch_uniform(fan_in: int):
@@ -44,6 +57,7 @@ class TorchGRUCell(nn.Module):
     """
 
     hidden: int
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
@@ -53,8 +67,8 @@ class TorchGRUCell(nn.Module):
         wh = self.param("wh", init, (H, 3 * H))
         bi = self.param("bi", init, (3 * H,))
         bh = self.param("bh", init, (3 * H,))
-        gi = x @ wi + bi
-        gh = h @ wh + bh
+        gi = _mm(x, wi, self.compute_dtype) + bi
+        gh = _mm(h, wh, self.compute_dtype) + bh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
@@ -67,6 +81,7 @@ class TorchDense(nn.Module):
     """Linear layer with torch's default init."""
 
     features: int
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -74,7 +89,7 @@ class TorchDense(nn.Module):
         init = _torch_uniform(fan_in)
         w = self.param("w", init, (fan_in, self.features))
         b = self.param("b", init, (self.features,))
-        return x @ w + b
+        return _mm(x, w, self.compute_dtype) + b
 
 
 class TorchConv(nn.Module):
@@ -82,6 +97,7 @@ class TorchConv(nn.Module):
 
     features: int
     stride: int = 1
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -90,6 +106,9 @@ class TorchConv(nn.Module):
         init = _torch_uniform(fan_in)
         w = self.param("w", init, (3, 3, in_ch, self.features))
         b = self.param("b", init, (self.features,))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            w = w.astype(self.compute_dtype)
         y = jax.lax.conv_general_dilated(
             x,
             w,
@@ -97,7 +116,7 @@ class TorchConv(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + b
+        return y.astype(jnp.float32) + b
 
 
 def conv_plan(fov: int) -> Sequence[int]:
@@ -122,12 +141,15 @@ class RNNAgent(nn.Module):
 
     n_actions: int
     rnn_hidden: int = 128
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, inputs: jax.Array, h: jax.Array):
-        x = nn.relu(TorchDense(self.rnn_hidden, name="fc1")(inputs))
-        h = TorchGRUCell(self.rnn_hidden, name="gru")(x, h)
-        q = TorchDense(self.n_actions, name="fc2")(h)
+        dt = self.compute_dtype
+        x = nn.relu(TorchDense(self.rnn_hidden, name="fc1",
+                               compute_dtype=dt)(inputs))
+        h = TorchGRUCell(self.rnn_hidden, name="gru", compute_dtype=dt)(x, h)
+        q = TorchDense(self.n_actions, name="fc2", compute_dtype=dt)(h)
         return q, h
 
 
@@ -145,10 +167,12 @@ class CRNNAgent(nn.Module):
     conv_channels: int     # = args.hyper_hidden_dim in the reference (quirk)
     rnn_hidden: int = 128
     vec_len: int = 2
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, inputs: jax.Array, h: jax.Array):
         C, fov = self.obs_channels, self.fov
+        dt = self.compute_dtype
         pix_len = C * fov * fov
         pixel = inputs[..., :pix_len]
         vec = inputs[..., pix_len:]
@@ -156,23 +180,32 @@ class CRNNAgent(nn.Module):
         pixel = pixel.reshape((-1, C, fov, fov)).transpose(0, 2, 3, 1)
         for i, stride in enumerate(conv_plan(fov)):
             pixel = nn.relu(
-                TorchConv(self.conv_channels, stride, name=f"conv{i+1}")(pixel)
+                TorchConv(self.conv_channels, stride, name=f"conv{i+1}",
+                          compute_dtype=dt)(pixel)
             )
         out = conv_out_size(fov)
         pixel = pixel.transpose(0, 3, 1, 2).reshape(
             (-1, out * out * self.conv_channels)
         )
-        vec = nn.relu(TorchDense(10, name="mlp1")(vec))
+        vec = nn.relu(TorchDense(10, name="mlp1", compute_dtype=dt)(vec))
         x = jnp.concatenate([pixel, vec], axis=-1)
-        h = TorchGRUCell(self.rnn_hidden, name="gru")(x, h)
-        q = TorchDense(self.n_actions, name="fc1")(h)
+        h = TorchGRUCell(self.rnn_hidden, name="gru", compute_dtype=dt)(x, h)
+        q = TorchDense(self.n_actions, name="fc1", compute_dtype=dt)(h)
         return q, h
 
 
 def build_agent_net(args) -> nn.Module:
-    """Pick the agent net from config (reference policy/vdn.py:20-25)."""
+    """Pick the agent net from config (reference policy/vdn.py:20-25).
+
+    ``args.compute_dtype == "bf16"`` enables mixed precision (bfloat16
+    matmuls/convs on the MXU, float32 params + accumulation); the default
+    float32 keeps exact transplant parity with the reference torch nets."""
+    dt = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
+        getattr(args, "compute_dtype", "float32"), None
+    )
     if args.net == "rnn":
-        return RNNAgent(n_actions=args.n_actions, rnn_hidden=args.rnn_hidden_dim)
+        return RNNAgent(n_actions=args.n_actions,
+                        rnn_hidden=args.rnn_hidden_dim, compute_dtype=dt)
     elif args.net == "crnn":
         return CRNNAgent(
             n_actions=args.n_actions,
@@ -181,6 +214,7 @@ def build_agent_net(args) -> nn.Module:
             conv_channels=args.hyper_hidden_dim,
             rnn_hidden=args.rnn_hidden_dim,
             vec_len=args.obs_shape[-2],
+            compute_dtype=dt,
         )
     raise ValueError(f"unknown net: {args.net!r}")
 

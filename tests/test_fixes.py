@@ -91,6 +91,83 @@ def test_evaluate_rendered_writes_video_and_metrics(tmp_path):
     assert any(v.startswith("eval-5by5-2d0b") for v in vids)
 
 
+def test_bf16_compute_dtype_close_to_f32_and_trains(tmp_path):
+    """--compute_dtype=bf16 runs matmuls/convs in bfloat16 with f32 params:
+    Q-values stay close to the f32 path and a short training remains
+    finite."""
+    from marl_dmfb_tpu.models.networks import build_agent_net
+
+    args = small_args(tmp_path)
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    args.update_env_info(env.env_info())
+
+    net32 = build_agent_net(args)
+    args.compute_dtype = "bf16"
+    net16 = build_agent_net(args)
+
+    in_dim = args.obs_shape[-1] + args.n_actions
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, in_dim))
+    h = jnp.zeros((16, args.rnn_hidden_dim))
+    params = net32.init(jax.random.PRNGKey(1), x, h)["params"]
+    q32, h32 = net32.apply({"params": params}, x, h)
+    q16, h16 = net16.apply({"params": params}, x, h)  # same f32 params
+    assert jnp.asarray(q16).dtype == jnp.float32
+    np.testing.assert_allclose(np.array(q32), np.array(q16),
+                               atol=5e-2, rtol=5e-2)
+
+    tr = Trainer(env, args)
+    tr.train_cycle()
+    assert np.isfinite(float(tr._last_loss))
+
+
+def test_lr_decay_and_remat_train(tmp_path):
+    """--lr_decay (cosine schedule) and --remat (BPTT rematerialization)
+    both produce finite training updates and identical loss values for
+    remat (a pure memory/FLOPs trade)."""
+    from marl_dmfb_tpu.algos.qlearn import make_learner
+    from marl_dmfb_tpu.rollout import make_rollout
+
+    args = small_args(tmp_path, lr_decay=True)
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, args)
+    tr.train_cycle()
+    assert np.isfinite(float(tr._last_loss))
+
+    # remat changes memory, not math: one learn step must match exactly
+    args_a = small_args(tmp_path)
+    args_a.update_env_info(env.env_info())
+    args_b = small_args(tmp_path, remat=True)
+    args_b.update_env_info(env.env_info())
+    init_a, learn_a, net, _ = make_learner(args_a, env)
+    init_b, learn_b, _, _ = make_learner(args_b, env)
+    lstate = init_a(jax.random.PRNGKey(0))
+    states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), 4))
+    rollout = make_rollout(env, net, args_a.rnn_hidden_dim)
+    res = rollout(lstate.params["agent"], states, jax.random.PRNGKey(2),
+                  jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                  greedy=False)
+    _, loss_a = learn_a(lstate, res.episodes)
+    _, loss_b = learn_b(init_b(jax.random.PRNGKey(0)), res.episodes)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+
+def test_cli_buffer_batch_overrides():
+    """--buffer_size/--batch_size must beat the YAML values (needed to fit
+    MEDA 80x80-10d's 16GiB default buffer in HBM)."""
+    from marl_dmfb_tpu.config import get_train_args
+
+    args = get_train_args(
+        ["meda", "--drop_num=10", "--buffer_size=3000", "--batch_size=64"],
+        pri=False,
+    )
+    assert args.buffer_size == 3000
+    assert args.batch_size == 64
+    # without overrides the YAML values survive
+    args2 = get_train_args(["meda", "--drop_num=10"], pri=False)
+    assert args2.buffer_size == 10000
+    assert args2.batch_size == 128
+
+
 def test_blocks_generation_jits_under_vmapped_reset():
     """n_blocks>0 reset must compile (no while_loop) and produce
     non-overlapping blocks that avoid task cells."""
