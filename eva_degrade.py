@@ -63,7 +63,7 @@ def main():
         restore_net_config(args, tag)
     trainer = Trainer(env, args)
     if tag is not None:
-        trainer.load_model(tag)
+        trainer.load_model(tag, params_only=True)
 
     # 5 chips in parallel; wear persists in these states across all episodes
     states = jax.vmap(env.init)(

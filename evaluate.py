@@ -102,7 +102,7 @@ def main():
         restore_net_config(args, tag)
     trainer = Trainer(env, args)
     if tag is not None:
-        trainer.load_model(tag)
+        trainer.load_model(tag, params_only=True)
     start = time.time()
     if args.show or args.show_save:
         m = evaluate_rendered(trainer, args)

@@ -200,7 +200,12 @@ class Trainer:
         })
         return path
 
-    def load_model(self, tag):
+    def load_model(self, tag, params_only: bool = False):
+        """Restore a checkpoint. ``params_only=True`` restores just the
+        network/target params (what evaluation needs) and skips optimizer
+        state — the opt_state PyTree structure depends on training-time
+        flags (e.g. ``--lr_decay`` adds a schedule counter), which an
+        eval-only entry point does not and should not know about."""
         path = model_state_path(self.args, tag)
         tree = ckpt.restore(path)
         from marl_dmfb_tpu.algos.qlearn import LearnerState
@@ -246,7 +251,10 @@ class Trainer:
             target_params=restructure(
                 fresh.target_params, tree["learner"]["target_params"]
             ),
-            opt_state=restructure(fresh.opt_state, tree["learner"]["opt_state"]),
+            opt_state=(
+                fresh.opt_state if params_only
+                else restructure(fresh.opt_state, tree["learner"]["opt_state"])
+            ),
             train_step=jnp.asarray(tree["learner"]["train_step"]),
         )
         self.epsilon = jnp.asarray(tree["epsilon"])
@@ -356,7 +364,7 @@ class Trainer:
         tags.append("final")
         for tag in tags:
             try:
-                self.load_model(tag)
+                self.load_model(tag, params_only=True)
             except FileNotFoundError:
                 continue
             m = self.evaluate()

@@ -54,6 +54,23 @@ def test_load_model_rejects_mismatched_net(tmp_path):
         t2.load_model("mismatch")
 
 
+def test_load_model_params_only_ignores_opt_state_shape(tmp_path):
+    """Eval entry points restore with params_only=True: a checkpoint
+    trained with --lr_decay (extra schedule-counter leaf in opt_state)
+    must still evaluate from a Trainer built without the flag."""
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    t1 = Trainer(env, small_args(tmp_path, lr_decay=True))
+    t1.save_model("lrdk")
+
+    t2 = Trainer(env, small_args(tmp_path))  # no lr_decay -> fewer leaves
+    with pytest.raises(ValueError, match="structure mismatch"):
+        t2.load_model("lrdk")
+    t2.load_model("lrdk", params_only=True)
+    for a, b in zip(jax.tree.leaves(t1.learner_state.params),
+                    jax.tree.leaves(t2.learner_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_episode_anneal_scale_decrements_per_episode(tmp_path):
     """With epsilon_anneal_scale == 'episode', a rollout of B episodes
     consumes B schedule steps (reference decrements once per generated
