@@ -22,6 +22,37 @@ from marl_dmfb_tpu.envs import make_env
 from marl_dmfb_tpu.rollout import make_rollout
 
 
+def estimate_learn_flops(args) -> float:
+    """Analytic FLOPs of ONE TD learn step (batch, T, N from args).
+
+    Counts matmul/conv multiply-adds only (2 FLOPs each): eval stream
+    forward + backward (~3x fwd) plus target stream forward (~1x fwd) ->
+    ~4x the single-stream forward cost.  Elementwise ops are ignored
+    (<2% of FLOPs, though not of time on small shapes)."""
+    from marl_dmfb_tpu.models.networks import conv_plan, conv_out_size
+
+    fov, C = args.fov, args.obs_shape[0]
+    ch = args.hyper_hidden_dim
+    H = args.rnn_hidden_dim
+    A = args.n_actions
+    in_dim = args.obs_shape[-1] + (A if args.last_action else 0)
+
+    f = 0.0
+    size, cin = fov, C
+    for s in conv_plan(fov):
+        size = (size - 3) // s + 1
+        f += size * size * ch * cin * 9 * 2
+        cin = ch
+    flat = conv_out_size(fov) ** 2 * ch
+    f += (in_dim - C * fov * fov) * 10 * 2          # vec mlp
+    gru_in = flat + 10
+    f += (gru_in * 3 * H + H * 3 * H) * 2           # GRU matmuls
+    f += H * A * 2                                  # Q head
+    per_sample_step = f
+    samples = args.batch_size * args.n_agents * args.episode_limit
+    return 4.0 * per_sample_step * samples
+
+
 def main(B=1024, iters=3, compute_dtype="float32"):
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
                 n_parallel_envs=B, compute_dtype=compute_dtype)
@@ -65,6 +96,14 @@ def main(B=1024, iters=3, compute_dtype="float32"):
     print(json.dumps({"metric": "learn_step_ms",
                       "value": round(dt_learn * 1000, 2), "unit": "ms",
                       "vs_baseline": None}))
+    flops = estimate_learn_flops(args)
+    tflops = flops / dt_learn / 1e12
+    print(json.dumps({
+        "metric": "learn_step_tflops",
+        "value": round(tflops, 2),
+        "unit": f"TFLOP/s analytic ({compute_dtype}); v5e peak ~197 bf16 / ~49 f32",
+        "vs_baseline": round(tflops / 197.0, 4),  # MFU vs bf16 peak
+    }))
 
     # full loop
     t0 = time.perf_counter()

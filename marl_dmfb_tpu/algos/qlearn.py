@@ -211,6 +211,9 @@ def make_learner(args, env):
         )
 
     learn = jax.jit(_update)
+    # expose the raw TD loss for profiling (forward-only timing); jit
+    # wrappers reject attribute writes, plain functions don't
+    init.loss_fn = loss_fn
 
     @functools.partial(jax.jit, static_argnames=("n_updates",))
     def learn_many(state: LearnerState, replay_data: dict, replay_size,

@@ -94,6 +94,10 @@ class Args:
     compute_dtype: str = "float32"  # float32 (parity) | bf16 (MXU-native)
     lr_decay: bool = False        # cosine lr decay (stabilizes large-B)
     remat: bool = False           # rematerialize BPTT activations (HBM)
+    param_ema: float = 0.0        # per-update EMA decay of eval params
+    #                               (0 = off; e.g. 0.999 smooths the
+    #                               late-training oscillation of large-B
+    #                               runs; eval/save use the averaged params)
 
     def apply_env_defaults(self):
         """set_default (arguments.py:57-81)."""
@@ -200,6 +204,12 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
     p.add_argument("--remat", default=False, action="store_true",
                    help="rematerialize BPTT activations in the learn step "
                         "(fits large MEDA configs in HBM at ~1.3x FLOPs)")
+    p.add_argument("--param_ema", type=float, default=0.0,
+                   help="per-update EMA decay for evaluation params "
+                        "(e.g. 0.999): online eval and saved checkpoints "
+                        "use the exponential moving average of the "
+                        "network weights, smoothing late-training policy "
+                        "oscillation at large --n_parallel_envs")
     p.add_argument("--buffer_size", type=int, default=None,
                    help="override the YAML replay capacity (episodes) — "
                         "e.g. to fit large MEDA configs in 16GB HBM")

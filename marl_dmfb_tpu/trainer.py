@@ -144,6 +144,22 @@ class Trainer:
             1, round(args.train_time * B / args.n_episodes)
         )
 
+        # Optional EMA of the network params for evaluation/saving
+        # (--param_ema): large-B runs oscillate late in training; the
+        # moving average is a deterministic smoother (no checkpoint
+        # selection).  Updated once per cycle with the per-update decay
+        # compounded over the cycle's fused updates.
+        self.ema_params = None
+        if args.param_ema:
+            self.ema_params = self.learner_state.params
+            cycle_decay = float(args.param_ema) ** self.updates_per_rollout
+            self._ema_step = jax.jit(
+                lambda ema, p: jax.tree.map(
+                    lambda e, q: cycle_decay * e + (1.0 - cycle_decay) * q,
+                    ema, p,
+                )
+            )
+
         # metric curves (train.py:21-25)
         self.episode_rewards = []
         self.episode_steps = []
@@ -171,8 +187,10 @@ class Trainer:
     def evaluate(self, n_tasks: Optional[int] = None) -> dict:
         """Greedy evaluation over a fresh batch of random tasks
         (reference Evaluator.evaluate, rollout.py:69-85)."""
+        params = (self.ema_params if self.ema_params is not None
+                  else self.learner_state.params)
         result = self.rollout(
-            self.learner_state.params["agent"],
+            params["agent"],
             self.eval_states,
             self._next_key(),
             jnp.float32(0.0),
@@ -189,6 +207,10 @@ class Trainer:
         )
         ckpt.save(path, {
             "learner": self.learner_state._asdict(),
+            # deploy/eval params: the EMA when --param_ema is on (what
+            # evaluate.py restores via params_only), raw params otherwise
+            **({"ema": self.ema_params} if self.ema_params is not None
+               else {}),
             "epsilon": self.epsilon,
             "key": self.key,
             "net_config": {
@@ -246,6 +268,16 @@ class Trainer:
             return jax.tree.unflatten(treedef, leaves)
 
         fresh = self.learner_state
+        if params_only and "ema" in tree:
+            # evaluation restores the EMA (deploy) params when present
+            ema = restructure(fresh.params, tree["ema"])
+            self.learner_state = fresh._replace(
+                params=ema, target_params=ema
+            )
+            self.epsilon = jnp.asarray(tree["epsilon"])
+            return
+        if self.ema_params is not None and "ema" in tree:
+            self.ema_params = restructure(self.ema_params, tree["ema"])
         self.learner_state = LearnerState(
             params=restructure(fresh.params, tree["learner"]["params"]),
             target_params=restructure(
@@ -289,6 +321,10 @@ class Trainer:
             self.learner_state, self.replay.data, self.replay.size,
             self._next_key(), self.updates_per_rollout,
         )
+        if self.ema_params is not None:
+            self.ema_params = self._ema_step(
+                self.ema_params, self.learner_state.params
+            )
         return int(jnp.sum(result.steps))
 
     def run(self, online_evaluate: bool = True,

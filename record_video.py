@@ -35,7 +35,9 @@ def main():
     env = make_env_from_args(args)
     args.update_env_info(env.env_info())
     net = build_agent_net(args)
-    theta = ckpt.restore(model_state_path(args, tag))["learner"]["params"]["agent"]
+    tree = ckpt.restore(model_state_path(args, tag))
+    # prefer the EMA (deploy) params when the run trained with --param_ema
+    theta = tree.get("ema", tree["learner"]["params"])["agent"]
 
     N, A, H = args.n_agents, args.n_actions, args.rnn_hidden_dim
 

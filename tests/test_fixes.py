@@ -71,6 +71,31 @@ def test_load_model_params_only_ignores_opt_state_shape(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_param_ema_tracks_and_restores(tmp_path):
+    """--param_ema keeps an EMA of the net params: after a train cycle the
+    EMA sits strictly between init and live params, evaluation uses it,
+    and a params_only restore of the checkpoint yields the EMA."""
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, small_args(tmp_path, param_ema=0.9))
+    p0 = jax.tree.map(np.asarray, tr.learner_state.params)
+    tr.train_cycle()
+    live = tr.learner_state.params
+    kernel = lambda t: np.asarray(
+        jax.tree.leaves(t["agent"])[0], dtype=np.float64)
+    a, b, e = kernel(p0), kernel(live), kernel(tr.ema_params)
+    assert not np.allclose(a, b)       # training moved the params
+    assert not np.allclose(e, b)       # ema lags the live params
+    # ema = d*a + (1-d)*b with d = 0.9**updates_per_rollout
+    d = 0.9 ** tr.updates_per_rollout
+    np.testing.assert_allclose(e, d * a + (1 - d) * b, rtol=1e-4, atol=1e-6)
+
+    tr.save_model("ema")
+    t2 = Trainer(env, small_args(tmp_path))
+    t2.load_model("ema", params_only=True)
+    np.testing.assert_allclose(
+        kernel(t2.learner_state.params), e, rtol=1e-6)
+
+
 def test_episode_anneal_scale_decrements_per_episode(tmp_path):
     """With epsilon_anneal_scale == 'episode', a rollout of B episodes
     consumes B schedule steps (reference decrements once per generated
