@@ -44,19 +44,24 @@ def main():
                        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
                        greedy=False)
 
-    # warmup/compile
+    # warmup/compile.  Timing methodology: block_until_ready over the axon
+    # tunnel can return before remote execution finishes, so the timed
+    # region ends with a host read (utils/benchmarking.py); iterations are
+    # chained through env_states so nothing can overlap out of order.
+    from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
+
     res = run(states, jax.random.PRNGKey(2))
-    jax.block_until_ready(res.episodes["r"])
+    hostread(res.episodes["r"])
     states = res.env_states
 
     T = env.episode_limit
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         res = run(states, jax.random.PRNGKey(3 + i))
         states = res.env_states
-    jax.block_until_ready(res.episodes["r"])
-    dt = time.perf_counter() - t0
+    hostread(res.episodes["r"])
+    dt = time.perf_counter() - t0 - measure_rtt()
 
     env_steps = B * T * iters  # lockstep steps x batch
     sps = env_steps / dt

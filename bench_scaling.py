@@ -51,12 +51,16 @@ def main(per_device_b=1024, iters=3):
         run = lambda st, k: rollout(theta, st, k, jnp.float32(1.0),
                                     jnp.float32(0.0), jnp.float32(0.05),
                                     greedy=False)
+        # host-read sync: block_until_ready over the axon tunnel can
+        # return early (see marl_dmfb_tpu/utils/benchmarking.py)
+        from marl_dmfb_tpu.utils.benchmarking import hostread
+
         res = run(states, jax.random.PRNGKey(2))
-        jax.block_until_ready(res.episodes["r"])
+        hostread(res.episodes["r"])
         t0 = time.perf_counter()
         for i in range(iters):
             res = run(res.env_states, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(res.episodes["r"])
+        hostread(res.episodes["r"])
         dt = (time.perf_counter() - t0) / iters
         sps = B * T / dt
         if base_sps is None:
@@ -82,15 +86,17 @@ def main(per_device_b=1024, iters=3):
         )
 
         def timed(st, theta):
+            from marl_dmfb_tpu.utils.benchmarking import hostread
+
             res = rollout(theta, st, jax.random.PRNGKey(2), jnp.float32(1.0),
                           jnp.float32(0.0), jnp.float32(0.05), greedy=False)
-            jax.block_until_ready(res.episodes["r"])
+            hostread(res.episodes["r"])
             t0 = time.perf_counter()
             for i in range(iters):
                 res = rollout(theta, res.env_states, jax.random.PRNGKey(3 + i),
                               jnp.float32(1.0), jnp.float32(0.0),
                               jnp.float32(0.05), greedy=False)
-            jax.block_until_ready(res.episodes["r"])
+            hostread(res.episodes["r"])
             return B * T * iters / (time.perf_counter() - t0)
 
         sps_plain = timed(states, lst.params["agent"])

@@ -80,19 +80,24 @@ def main(B=1024, iters=3, compute_dtype="float32"):
         lstate, loss = learn_many(lstate, rb.data, rb.size, sub, updates)
         return lstate, res.env_states, rb, loss
 
-    # warmup
+    # warmup.  Timing: host-read sync only — block_until_ready over the
+    # axon tunnel can return before remote execution finishes (see
+    # marl_dmfb_tpu/utils/benchmarking.py); chains are long enough to
+    # amortize the ~40ms tunnel round trip.
+    from marl_dmfb_tpu.utils.benchmarking import hostread
+
     lstate, states, rb, loss = cycle(lstate, states, rb, jax.random.PRNGKey(2))
-    jax.block_until_ready(loss)
+    hostread(loss)
 
     # learn-only
     batch = replay_lib.sample(rb, jax.random.PRNGKey(3), args.batch_size)
     lstate, loss = learn(lstate, batch)
-    jax.block_until_ready(loss)
+    hostread(loss)
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(100):
         lstate, loss = learn(lstate, batch)
-    jax.block_until_ready(loss)
-    dt_learn = (time.perf_counter() - t0) / 10
+    hostread(loss)
+    dt_learn = (time.perf_counter() - t0) / 100
     print(json.dumps({"metric": "learn_step_ms",
                       "value": round(dt_learn * 1000, 2), "unit": "ms",
                       "vs_baseline": None}))
@@ -110,7 +115,7 @@ def main(B=1024, iters=3, compute_dtype="float32"):
     for i in range(iters):
         lstate, states, rb, loss = cycle(lstate, states, rb,
                                          jax.random.PRNGKey(4 + i))
-    jax.block_until_ready(loss)
+    hostread(loss)
     dt = (time.perf_counter() - t0) / iters
     sps = B * T / dt
     print(json.dumps({"metric": "train_loop_env_steps_per_sec",

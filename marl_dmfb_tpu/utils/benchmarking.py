@@ -1,0 +1,51 @@
+"""Trustworthy timing over the tunneled TPU.
+
+``jax.block_until_ready`` over the axon IFRT tunnel can return before the
+remote execution actually finishes (measured: a chain of 10 TD updates
+"completed" in 8 ms whose true device time is 36 ms), and every
+host<->device round trip costs ~40 ms.  The only sync that cannot lie is a
+value transfer: a host read of data produced by the computation.
+
+Benchmarks therefore (a) chain enough iterations to amortize the RTT and
+(b) end the timed region with :func:`hostread`, never ``block_until_ready``.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def hostread(tree) -> float:
+    """Force completion by reading one element of the result on the host.
+
+    The element is sliced on device (one tiny cached program) so only a
+    scalar crosses the tunnel regardless of the result's size."""
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
+def measure_rtt(iters: int = 5) -> float:
+    """Median host<->device round-trip of a scalar read (seconds)."""
+    x = jnp.float32(1.0) + jnp.float32(1.0)
+    _ = float(x)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = float(x + jnp.float32(0.0))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def timeit_chained(step, iters: int, warmup: int = 1) -> float:
+    """Per-iteration seconds of ``state = step(state)`` chained ``iters``
+    times, synced by a host read of the final state."""
+    state = None
+    for _ in range(warmup):
+        state = step(state)
+    hostread(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    hostread(state)
+    return (time.perf_counter() - t0) / iters

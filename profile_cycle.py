@@ -33,13 +33,21 @@ from bench_train import estimate_learn_flops
 
 
 def timed(fn, *a, iters=10, **kw):
+    """Host-read-synced timing: block_until_ready over the axon tunnel can
+    return before remote execution finishes (utils/benchmarking.py), so the
+    timed region ends with a scalar device->host read; the device executes
+    dispatches in order, so syncing the last call covers the chain.  One
+    tunnel round trip (~40ms) is subtracted."""
+    from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
+
     out = fn(*a, **kw)
-    jax.block_until_ready(out)
+    hostread(out)
+    rtt = measure_rtt()
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*a, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    hostread(out)
+    return max(1e-9, (time.perf_counter() - t0 - rtt)) / iters, out
 
 
 def emit(metric, ms, note=""):
@@ -102,14 +110,14 @@ def main(B=1024, compute_dtype="float32", trace_dir=""):
     dt_sample, batch = timed(sample, jax.random.PRNGKey(4), iters=10)
     emit("replay_sample_ms", dt_sample, f"batch={args.batch_size}")
 
-    dt_learn, _ = timed(lambda: learn(lstate, batch), iters=10)
+    dt_learn, _ = timed(lambda: learn(lstate, batch), iters=50)
     emit("learn_step_ms", dt_learn,
          f"batch={args.batch_size}, T={args.episode_limit} BPTT")
 
     # forward-only: the TD loss without the backward pass
     loss_only = jax.jit(lambda ls, b: init.loss_fn(
         ls.params, ls.target_params, b))
-    dt_fwd, _ = timed(loss_only, lstate, batch, iters=10)
+    dt_fwd, _ = timed(loss_only, lstate, batch, iters=50)
     emit("learn_forward_only_ms", dt_fwd, "loss eval, no grad")
     emit("learn_backward_ms", dt_learn - dt_fwd, "derived: step - fwd")
 
