@@ -137,20 +137,35 @@ def conv_out_size(fov: int) -> int:
 
 
 class RNNAgent(nn.Module):
-    """fc -> GRU -> fc Q head (reference ``RNN``, base_net.py:7-21)."""
+    """fc -> GRU -> fc Q head (reference ``RNN``, base_net.py:7-21).
+
+    Split into ``encode`` / ``gru_step`` / ``q_head`` so the learner can
+    batch the time-independent parts over ALL timesteps at once and scan
+    only the recurrent cell (see qlearn.unroll) — same params, same math,
+    MXU-sized matmuls instead of T tiny ones."""
 
     n_actions: int
     rnn_hidden: int = 128
     compute_dtype: Optional[Any] = None
 
-    @nn.compact
-    def __call__(self, inputs: jax.Array, h: jax.Array):
+    def setup(self):
         dt = self.compute_dtype
-        x = nn.relu(TorchDense(self.rnn_hidden, name="fc1",
-                               compute_dtype=dt)(inputs))
-        h = TorchGRUCell(self.rnn_hidden, name="gru", compute_dtype=dt)(x, h)
-        q = TorchDense(self.n_actions, name="fc2", compute_dtype=dt)(h)
-        return q, h
+        self.fc1 = TorchDense(self.rnn_hidden, name="fc1", compute_dtype=dt)
+        self.gru = TorchGRUCell(self.rnn_hidden, name="gru", compute_dtype=dt)
+        self.fc2 = TorchDense(self.n_actions, name="fc2", compute_dtype=dt)
+
+    def encode(self, inputs: jax.Array) -> jax.Array:
+        return nn.relu(self.fc1(inputs))
+
+    def gru_step(self, x: jax.Array, h: jax.Array) -> jax.Array:
+        return self.gru(x, h)
+
+    def q_head(self, h: jax.Array) -> jax.Array:
+        return self.fc2(h)
+
+    def __call__(self, inputs: jax.Array, h: jax.Array):
+        h = self.gru_step(self.encode(inputs), h)
+        return self.q_head(h), h
 
 
 class CRNNAgent(nn.Module):
@@ -169,29 +184,44 @@ class CRNNAgent(nn.Module):
     vec_len: int = 2
     compute_dtype: Optional[Any] = None
 
-    @nn.compact
-    def __call__(self, inputs: jax.Array, h: jax.Array):
-        C, fov = self.obs_channels, self.fov
+    def setup(self):
         dt = self.compute_dtype
+        self.convs = [
+            TorchConv(self.conv_channels, stride, name=f"conv{i+1}",
+                      compute_dtype=dt)
+            for i, stride in enumerate(conv_plan(self.fov))
+        ]
+        self.mlp1 = TorchDense(10, name="mlp1", compute_dtype=dt)
+        self.gru = TorchGRUCell(self.rnn_hidden, name="gru", compute_dtype=dt)
+        self.fc1 = TorchDense(self.n_actions, name="fc1", compute_dtype=dt)
+
+    def encode(self, inputs: jax.Array) -> jax.Array:
+        """Time-independent feature path (convs + vec MLP) — batchable
+        over all timesteps at once in the learner."""
+        C, fov = self.obs_channels, self.fov
         pix_len = C * fov * fov
         pixel = inputs[..., :pix_len]
         vec = inputs[..., pix_len:]
         # NCHW in the flat layout -> NHWC for the TPU conv
         pixel = pixel.reshape((-1, C, fov, fov)).transpose(0, 2, 3, 1)
-        for i, stride in enumerate(conv_plan(fov)):
-            pixel = nn.relu(
-                TorchConv(self.conv_channels, stride, name=f"conv{i+1}",
-                          compute_dtype=dt)(pixel)
-            )
+        for conv in self.convs:
+            pixel = nn.relu(conv(pixel))
         out = conv_out_size(fov)
         pixel = pixel.transpose(0, 3, 1, 2).reshape(
             (-1, out * out * self.conv_channels)
         )
-        vec = nn.relu(TorchDense(10, name="mlp1", compute_dtype=dt)(vec))
-        x = jnp.concatenate([pixel, vec], axis=-1)
-        h = TorchGRUCell(self.rnn_hidden, name="gru", compute_dtype=dt)(x, h)
-        q = TorchDense(self.n_actions, name="fc1", compute_dtype=dt)(h)
-        return q, h
+        vec = nn.relu(self.mlp1(vec))
+        return jnp.concatenate([pixel, vec], axis=-1)
+
+    def gru_step(self, x: jax.Array, h: jax.Array) -> jax.Array:
+        return self.gru(x, h)
+
+    def q_head(self, h: jax.Array) -> jax.Array:
+        return self.fc1(h)
+
+    def __call__(self, inputs: jax.Array, h: jax.Array):
+        h = self.gru_step(self.encode(inputs), h)
+        return self.q_head(h), h
 
 
 def build_agent_net(args) -> nn.Module:

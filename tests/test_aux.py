@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: repo-root modules (evaluate.py) must win
 
 from marl_dmfb_tpu.utils.returns import td_lambda_target
 from tests.ref_loader import load_reference_meda

@@ -13,7 +13,7 @@ from marl_dmfb_tpu.models.networks import (
     CRNNAgent, RNNAgent, QMixer, TorchGRUCell, vdn_mix, conv_out_size,
 )
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: repo-root modules (evaluate.py) must win
 import torch  # noqa: E402
 
 torch.manual_seed(0)
