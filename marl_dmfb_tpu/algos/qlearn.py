@@ -120,38 +120,29 @@ def make_learner(args, env):
     def unroll(agent_params, inputs):
         """GRU unroll over time: inputs (b, T, N, in_dim) -> q (b, T, N, A).
 
-        Only the GRU cell is actually recurrent, so the conv/MLP feature
-        encoder and the Q head run ONCE over all b*T*N samples (one
-        MXU-sized batch each) and the lax.scan body is a single GRU cell —
-        instead of running the whole net T times on tiny batches.  Same
-        params, same math, ~2x fewer scan-step overheads and far better
-        MXU utilization (see RESULTS.md, Profiling)."""
+        The WHOLE net (conv encoder + GRU + Q head) runs inside the
+        lax.scan body on (b*N)-row batches.  The "obvious" TPU optimization
+        — batching the time-independent encoder/head over all b*T*N samples
+        and scanning only the GRU cell — was implemented and measured 4x
+        SLOWER on the v5e (fwd+bwd 7.06ms vs 1.71ms, batch 128, T=40,
+        fov 9): XLA fuses the small per-step convs into the scan and keeps
+        activations in VMEM, while the big-batch encoder materializes
+        channel-padded conv activations (24 ch padded to 128 lanes, ~5x)
+        through HBM.  Refuted-optimization record: RESULTS.md, Profiling."""
         b, T = inputs.shape[0], inputs.shape[1]
 
-        encode = lambda x: net.apply(
-            {"params": agent_params}, x.reshape(b * T * N, -1),
-            method="encode",
-        )
-        if getattr(args, "remat", False):
-            # rematerialize the big batched activations in the backward
-            # pass: large configs (MEDA 80x80-10d: T=160, 10 agents,
-            # fov 19) otherwise hold ~6GB of conv activations for BPTT
-            encode = jax.checkpoint(encode)
-        feats = encode(inputs)                       # (b*T*N, feat)
-        feats = feats.reshape(b, T, N, -1).transpose(1, 0, 2, 3)
-        x_tb = feats.reshape(T, b * N, -1)
-
         def cell(h, x_t):
-            h2 = net.apply({"params": agent_params}, x_t, h,
-                           method="gru_step")
-            return h2, h2
+            q, h2 = net.apply({"params": agent_params}, x_t, h)
+            return h2, q
 
         if getattr(args, "remat", False):
+            # rematerialize per-timestep activations in the backward pass:
+            # large configs (MEDA 80x80-10d: T=160, 10 agents, fov 19)
+            # otherwise hold ~6GB of conv/GRU activations for BPTT
             cell = jax.checkpoint(cell)
+        x_tb = inputs.transpose(1, 0, 2, 3).reshape(T, b * N, -1)
         h0 = jnp.zeros((b * N, H), jnp.float32)
-        _, h_t = jax.lax.scan(cell, h0, x_tb)        # (T, b*N, H)
-        q_t = net.apply({"params": agent_params},
-                        h_t.reshape(T * b * N, H), method="q_head")
+        _, q_t = jax.lax.scan(cell, h0, x_tb)
         return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
 
     def build_inputs(batch, u_onehot):
