@@ -145,6 +145,36 @@ def make_learner(args, env):
         _, q_t = jax.lax.scan(cell, h0, x_tb)
         return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
 
+    def unroll_pair(eval_params, target_params, eval_in, tgt_in):
+        """Eval + target streams in ONE scan: both rows batch into the same
+        per-step net call (one set of matmuls at 2x rows instead of two
+        scans at 1x) — the streams share shapes but not params, so they
+        concatenate on the batch axis per step with their own param trees
+        applied via a stacked vmap.  Returns (q_eval, q_target), each
+        (b, T, N, A); exactly equal to two separate unroll() calls."""
+        b, T = eval_in.shape[0], eval_in.shape[1]
+        params2 = jax.tree.map(
+            lambda a, t: jnp.stack([a, t]), eval_params, target_params
+        )
+        x2 = jnp.stack([eval_in, tgt_in])           # (2, b, T, N, in)
+        x2 = x2.transpose(2, 0, 1, 3, 4).reshape(T, 2, b * N, -1)
+
+        apply2 = jax.vmap(
+            lambda p, x, h: net.apply({"params": p}, x, h),
+            in_axes=(0, 0, 0),
+        )
+
+        def cell(h2, x_t):
+            q, h_next = apply2(params2, x_t, h2)
+            return h_next, q
+
+        if getattr(args, "remat", False):
+            cell = jax.checkpoint(cell)
+        h0 = jnp.zeros((2, b * N, H), jnp.float32)
+        _, q_t = jax.lax.scan(cell, h0, x2)          # (T, 2, b*N, A)
+        q_t = q_t.reshape(T, 2, b, N, A).transpose(1, 2, 0, 3, 4)
+        return q_t[0], q_t[1]
+
     def build_inputs(batch, u_onehot):
         # o_ext stores o and o_next as one length-(T+1) array (see
         # replay.init_replay): eval-stream obs at t is exactly
@@ -178,8 +208,13 @@ def make_learner(args, env):
         )
         eval_in, tgt_in = build_inputs(batch, u_onehot)
 
-        q_evals = unroll(params["agent"], eval_in)
-        q_targets = unroll(target_params["agent"], tgt_in)
+        if getattr(args, "fused_streams", False):
+            q_evals, q_targets = unroll_pair(
+                params["agent"], target_params["agent"], eval_in, tgt_in
+            )
+        else:
+            q_evals = unroll(params["agent"], eval_in)
+            q_targets = unroll(target_params["agent"], tgt_in)
         q_e = jnp.take_along_axis(q_evals, u, axis=3).squeeze(3)   # (b,T,N)
         q_t = jnp.where(avail_next == 0.0, -9999999.0, q_targets).max(axis=3)
 

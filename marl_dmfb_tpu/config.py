@@ -94,6 +94,7 @@ class Args:
     compute_dtype: str = "float32"  # float32 (parity) | bf16 (MXU-native)
     lr_decay: bool = False        # cosine lr decay (stabilizes large-B)
     remat: bool = False           # rematerialize BPTT activations (HBM)
+    fused_streams: bool = False   # eval+target GRU streams in one scan
     param_ema: float = 0.0        # per-update EMA decay of eval params
     #                               (0 = off; e.g. 0.999 smooths the
     #                               late-training oscillation of large-B
@@ -204,6 +205,9 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
     p.add_argument("--remat", default=False, action="store_true",
                    help="rematerialize BPTT activations in the learn step "
                         "(fits large MEDA configs in HBM at ~1.3x FLOPs)")
+    p.add_argument("--fused_streams", default=False, action="store_true",
+                   help="run the eval and target GRU unrolls in one scan "
+                        "(pure scheduling change; loss-identical)")
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="per-update EMA decay for evaluation params "
                         "(e.g. 0.999): online eval and saved checkpoints "

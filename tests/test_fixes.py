@@ -193,6 +193,33 @@ def test_lr_decay_and_remat_train(tmp_path):
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
 
 
+def test_fused_streams_loss_identical(tmp_path):
+    """fused_streams (eval+target GRU in one scan) is a pure scheduling
+    change: the learn loss must match the two-scan path exactly."""
+    from marl_dmfb_tpu.algos.qlearn import make_learner
+    from marl_dmfb_tpu.rollout import make_rollout
+
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    args_a = small_args(tmp_path)
+    args_a.update_env_info(env.env_info())
+    args_b = small_args(tmp_path, fused_streams=True)
+    args_b.update_env_info(env.env_info())
+    init_a, learn_a, net, _ = make_learner(args_a, env)
+    init_b, learn_b, _, _ = make_learner(args_b, env)
+    lstate = init_a(jax.random.PRNGKey(0))
+    states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), 4))
+    rollout = make_rollout(env, net, args_a.rnn_hidden_dim)
+    res = rollout(lstate.params["agent"], states, jax.random.PRNGKey(2),
+                  jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                  greedy=False)
+    s_a, loss_a = learn_a(lstate, res.episodes)
+    s_b, loss_b = learn_b(init_b(jax.random.PRNGKey(0)), res.episodes)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=1e-7)
+
+
 def test_cli_buffer_batch_overrides():
     """--buffer_size/--batch_size must beat the YAML values (needed to fit
     MEDA 80x80-10d's 16GiB default buffer in HBM)."""
