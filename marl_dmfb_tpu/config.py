@@ -207,7 +207,8 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
                         "(fits large MEDA configs in HBM at ~1.3x FLOPs)")
     p.add_argument("--fused_streams", default=False, action="store_true",
                    help="run the eval and target GRU unrolls in one scan "
-                        "(pure scheduling change; loss-identical)")
+                        "(loss-identical; measured SLOWER on v5e — see "
+                        "RESULTS.md Profiling — kept for other topologies)")
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="per-update EMA decay for evaluation params "
                         "(e.g. 0.999): online eval and saved checkpoints "
