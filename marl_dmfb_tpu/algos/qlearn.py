@@ -271,7 +271,11 @@ def make_learner(args, env):
             idx = jax.random.randint(
                 k, (args.batch_size,), 0, jnp.maximum(replay_size, 1)
             )
-            batch = {kk: v[idx] for kk, v in replay_data.items()}
+            from marl_dmfb_tpu.replay import logical_views
+
+            batch = logical_views(
+                {kk: v[idx] for kk, v in replay_data.items()}
+            )
             return _update(state, batch)
 
         keys = jax.random.split(key, n_updates)

@@ -12,10 +12,19 @@ to modulo arithmetic on a running write cursor; we use that closed form.
 Optionally stores the flattened global state per step (``s``/``s_next``) —
 the reference wires QMIX but never collects a state (SURVEY §2.2); here it
 is first-class so QMIX actually trains.
-"""
+
+PHYSICAL LAYOUT (TPU HBM padding): arrays are stored with the small
+trailing dims merged — ``o_ext`` as ``(S, T+1, N*obs_dim)``, ``u`` as
+``(S, T, N)``, scalars as ``(S, T)``.  TPU tiles the last two dims to
+(sublane, lane) multiples, so a ``(.., N=10, 1085)`` int8 layout pads the
+agent dim 10->32 (1.7x HBM blowup — a 5.2GB MEDA buffer OOMed the chip at
+8.9GB physical).  ``sample``/``logical_views`` reshape back to the
+``(b, T, N, .)`` views the learner consumes (reshapes are free — same
+linear order)."""
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -23,7 +32,7 @@ import jax.numpy as jnp
 
 
 class ReplayState(NamedTuple):
-    data: dict            # str -> (size, T, ...) arrays
+    data: dict            # str -> (size, T, ...) arrays, merged layout
     cursor: jax.Array     # () int32 — next write slot
     size: jax.Array       # () int32 — number of valid episodes
 
@@ -55,22 +64,53 @@ def init_replay(
     S, T, N = capacity, episode_limit, n_agents
     del n_actions  # onehots/avail masks are derived from (u, padded)
     data = {
-        "o_ext": jnp.zeros((S, T + 1, N, obs_dim), obs_dtype),
-        "u": jnp.zeros((S, T, N, 1), jnp.int8),
-        "r": jnp.zeros((S, T, 1), jnp.float32),
-        "padded": jnp.zeros((S, T, 1), bool),
-        "terminated": jnp.zeros((S, T, 1), bool),
+        "o_ext": jnp.zeros((S, T + 1, N * obs_dim), obs_dtype),
+        "u": jnp.zeros((S, T, N), jnp.int8),
+        "r": jnp.zeros((S, T), jnp.float32),
+        "padded": jnp.zeros((S, T), bool),
+        "terminated": jnp.zeros((S, T), bool),
     }
     if state_dim is not None:
         data["s_ext"] = jnp.zeros((S, T + 1, state_dim), jnp.int8)
     return ReplayState(data=data, cursor=jnp.int32(0), size=jnp.int32(0))
 
 
-import functools
+def _flatten_episodes(episodes: dict) -> dict:
+    """Rollout layout (B, T, N, .) -> merged storage layout."""
+    out = {}
+    for k, v in episodes.items():
+        if k == "o_ext":
+            out[k] = v.reshape(v.shape[0], v.shape[1], -1)
+        elif k == "u":
+            out[k] = v[..., 0]
+        elif k in ("r", "padded", "terminated"):
+            out[k] = v[..., 0]
+        else:  # s_ext — already (B, T+1, state_dim)
+            out[k] = v
+    return out
+
+
+def logical_views(data: dict) -> dict:
+    """Merged storage layout -> the (b, T, N, .) views the learner eats.
+    Pure reshapes (same linear order), so these are free under jit."""
+    u = data["u"]
+    N = u.shape[-1]
+    o = data["o_ext"]
+    out = {
+        "o_ext": o.reshape(o.shape[:-1] + (N, o.shape[-1] // N)),
+        "u": u[..., None],
+        "r": data["r"][..., None],
+        "padded": data["padded"][..., None],
+        "terminated": data["terminated"][..., None],
+    }
+    if "s_ext" in data:
+        out["s_ext"] = data["s_ext"]
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _store_impl(replay: ReplayState, episodes: dict) -> ReplayState:
+    episodes = _flatten_episodes(episodes)
     B = episodes["u"].shape[0]
     capacity = replay.data["u"].shape[0]
     idx = (replay.cursor + jnp.arange(B)) % capacity
@@ -103,4 +143,4 @@ def sample(replay: ReplayState, key: jax.Array, batch_size: int) -> dict:
     XLA compilation per size; repetition keeps shapes static and is
     equivalent in expectation)."""
     idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(replay.size, 1))
-    return {k: v[idx] for k, v in replay.data.items()}
+    return logical_views({k: v[idx] for k, v in replay.data.items()})

@@ -47,7 +47,7 @@ class TestReplay:
         rb = replay_lib.store(rb, self._episodes(3, fill=2))
         # wraps: slots 3,4 then 0
         assert int(rb.size) == 5 and int(rb.cursor) == 1
-        o = np.array(rb.data["r"][:, 0, 0])
+        o = np.array(rb.data["r"][:, 0])  # merged physical layout (S, T)
         np.testing.assert_allclose(o, [2, 1, 1, 2, 2])
 
     def test_sample_shapes(self):
