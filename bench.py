@@ -24,9 +24,10 @@ def main():
     from marl_dmfb_tpu.config import Args, make_env_from_args
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
-                n_parallel_envs=B)
+                n_parallel_envs=B, block_num=n_blocks)
     args.apply_env_defaults()
     args.load_yaml()
     env = make_env_from_args(args)
