@@ -100,7 +100,7 @@ def main():
             tag = tag[len(f"{args.ith_run}_"):]
         tag = tag.rstrip("_")
         restore_net_config(args, tag)
-    trainer = Trainer(env, args)
+    trainer = Trainer(env, args, eval_only=True)
     if tag is not None:
         trainer.load_model(tag, params_only=True)
     start = time.time()

@@ -77,10 +77,16 @@ def restore_net_config(args: Args, tag) -> Args:
 
 
 class Trainer:
-    def __init__(self, env: Env, args: Args, mesh=None):
+    def __init__(self, env: Env, args: Args, mesh=None,
+                 eval_only: bool = False):
+        """``eval_only`` skips the replay buffer and training env states —
+        evaluation entry points must not allocate the YAML's replay
+        capacity (a 10k-episode MEDA 80x80-10d buffer alone exceeds the
+        chip's HBM)."""
         self.env = env
         self.args = args
         self.mesh = mesh
+        self.eval_only = eval_only
         args.update_env_info(env.env_info())
 
         self.use_state = args.alg == "qmix"
@@ -101,14 +107,18 @@ class Trainer:
                 print(f"mesh: rounding rollout batch up to {B} "
                       f"({n_dev} devices)", flush=True)
         self.B = B
-        self.env_states = jax.vmap(env.init)(jax.random.split(k_envs, B))
+        self.env_states = (
+            None if eval_only
+            else jax.vmap(env.init)(jax.random.split(k_envs, B))
+        )
         self.eval_states = jax.vmap(env.init)(
             jax.random.split(k_eval, args.evaluate_task)
         )
         if mesh is not None:
             from marl_dmfb_tpu.parallel.mesh import shard_batch, replicate
 
-            self.env_states = shard_batch(mesh, self.env_states)
+            if not eval_only:
+                self.env_states = shard_batch(mesh, self.env_states)
             self.eval_states = shard_batch(mesh, self.eval_states)
             self.learner_state = replicate(mesh, self.learner_state)
 
@@ -117,21 +127,24 @@ class Trainer:
         )
 
         obs_dtype = env.params.obs_dtype
-        self.replay = replay_lib.init_replay(
-            capacity=args.buffer_size,
-            episode_limit=args.episode_limit,
-            n_agents=args.n_agents,
-            obs_dim=args.obs_shape[-1],
-            n_actions=args.n_actions,
-            obs_dtype=obs_dtype,
-            state_dim=args.state_shape if self.use_state else None,
-        )
-        if mesh is not None:
-            # buffer capacity sharded over the mesh (episodes live where
-            # they were collected; minibatch gathers ride ICI)
-            from marl_dmfb_tpu.parallel.mesh import shard_batch
+        if eval_only:
+            self.replay = None
+        else:
+            self.replay = replay_lib.init_replay(
+                capacity=args.buffer_size,
+                episode_limit=args.episode_limit,
+                n_agents=args.n_agents,
+                obs_dim=args.obs_shape[-1],
+                n_actions=args.n_actions,
+                obs_dtype=obs_dtype,
+                state_dim=args.state_shape if self.use_state else None,
+            )
+            if mesh is not None:
+                # buffer capacity sharded over the mesh (episodes live where
+                # they were collected; minibatch gathers ride ICI)
+                from marl_dmfb_tpu.parallel.mesh import shard_batch
 
-            self.replay = shard_batch(mesh, self.replay)
+                self.replay = shard_batch(mesh, self.replay)
 
         self.epsilon = jnp.float32(args.epsilon)
         if args.epsilon_anneal_scale == "step":
@@ -293,6 +306,8 @@ class Trainer:
 
     def train_cycle(self):
         """One collect+learn cycle; returns env steps consumed."""
+        if self.eval_only:
+            raise RuntimeError("Trainer was built with eval_only=True")
         result = self.rollout(
             self.learner_state.params["agent"],
             self.env_states,

@@ -22,7 +22,7 @@ def main():
     args = get_train_args()
     if args.load_model:
         env = make_env_from_args(args)
-        trainer = Trainer(env, args)
+        trainer = Trainer(env, args, eval_only=True)
         trainer.evaluate_total()
         rewards = trainer.episode_rewards
         steps = trainer.episode_steps
