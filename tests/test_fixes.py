@@ -193,6 +193,19 @@ def test_lr_decay_and_remat_train(tmp_path):
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
 
 
+def test_eval_only_trainer_skips_replay(tmp_path):
+    """Evaluation entry points must not allocate the training replay (a
+    MEDA-10d YAML buffer alone exceeds HBM); eval_only still evaluates."""
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    args = small_args(tmp_path, buffer_size=10_000_000)  # would OOM if real
+    tr = Trainer(env, args, eval_only=True)
+    assert tr.replay is None and tr.env_states is None
+    m = tr.evaluate()
+    assert 0.0 <= m["success_rate"] <= 1.0
+    with pytest.raises(RuntimeError, match="eval_only"):
+        tr.train_cycle()
+
+
 def test_fused_streams_loss_identical(tmp_path):
     """fused_streams (eval+target GRU in one scan) is a pure scheduling
     change: the learn loss must match the two-scan path exactly."""
