@@ -24,14 +24,15 @@ train.py:59-78):
   exactly like the reference's accounting (train.py:63-65 with
   rollout.py:147-149).
 
-Choosing B (``--n_parallel_envs``): large B maximizes collection throughput
-but coarsens the policy-update cadence (the policy is frozen across each
-B-episode block), which measurably hurts long-horizon generalization —
-B=64 trained to 0.96 on 10x10 but only ~0.35-0.77 zero-shot on 50x50,
-while B=8 (close to the reference's every-2-episodes cadence) reached 0.98
-on 50x50, beating the reference baseline.  Default (0) keeps the
-reference's ``n_episodes`` granularity; B<=16 is recommended for
-reference-grade policy quality, large B for throughput experiments.
+Choosing B (``--n_parallel_envs``): large B maximizes collection
+throughput.  Round-2 finding (RESULTS.md, "Quality at large batch"):
+large-batch runs on the tiny 10x10 board learn a perfectly-generalizing
+policy by ~400-600k steps and then over-specialize to the short horizon
+(50x50 zero-shot decays 1.00 -> ~0.2 while 10x10 stays ~0.9).  Two robust
+recipes fix it: train on 20x20 (``--chip_size=20 --n_parallel_envs=64
+--lr_decay --param_ema=0.999`` -> 1.00/1.00/0.99 on 50x50 across seeds),
+or stop at the early optimum (``--n_steps=6``).  Default B (0) keeps the
+reference's ``n_episodes`` granularity for exact-protocol parity runs.
 """
 
 from __future__ import annotations
