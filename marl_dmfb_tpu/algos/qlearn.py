@@ -142,7 +142,9 @@ def make_learner(args, env):
             cell = jax.checkpoint(cell)
         x_tb = inputs.transpose(1, 0, 2, 3).reshape(T, b * N, -1)
         h0 = jnp.zeros((b * N, H), jnp.float32)
-        _, q_t = jax.lax.scan(cell, h0, x_tb)
+        _, q_t = jax.lax.scan(
+            cell, h0, x_tb, unroll=getattr(args, "scan_unroll", 1)
+        )
         return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
 
     def unroll_pair(eval_params, target_params, eval_in, tgt_in):
@@ -171,7 +173,9 @@ def make_learner(args, env):
         if getattr(args, "remat", False):
             cell = jax.checkpoint(cell)
         h0 = jnp.zeros((2, b * N, H), jnp.float32)
-        _, q_t = jax.lax.scan(cell, h0, x2)          # (T, 2, b*N, A)
+        _, q_t = jax.lax.scan(
+            cell, h0, x2, unroll=getattr(args, "scan_unroll", 1)
+        )                                            # (T, 2, b*N, A)
         q_t = q_t.reshape(T, 2, b, N, A).transpose(1, 2, 0, 3, 4)
         return q_t[0], q_t[1]
 

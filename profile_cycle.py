@@ -56,9 +56,10 @@ def emit(metric, ms, note=""):
                       "vs_baseline": None}), flush=True)
 
 
-def main(B=1024, compute_dtype="float32", trace_dir=""):
+def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=1):
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
-                n_parallel_envs=B, compute_dtype=compute_dtype)
+                n_parallel_envs=B, compute_dtype=compute_dtype,
+                scan_unroll=scan_unroll)
     args.apply_env_defaults()
     args.load_yaml()
     env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
@@ -151,6 +152,8 @@ if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     tr = next((a.split("=", 1)[1] for a in sys.argv[1:]
                if a.startswith("--trace=")), "")
+    su = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+               if a.startswith("--scan_unroll=")), 1)
     main(B=int(pos[0]) if pos else 1024,
          compute_dtype=pos[1] if len(pos) > 1 else "float32",
-         trace_dir=tr)
+         trace_dir=tr, scan_unroll=su)

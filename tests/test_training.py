@@ -162,6 +162,16 @@ class TestLearner:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
 
+    def test_scan_unroll_is_loss_identical(self):
+        # unroll>1 only changes how XLA lays out the BPTT loop, never the math
+        args, env, init, learn, lstate, res = self._setup("vdn")
+        batch = res.episodes
+        _, loss1 = learn(lstate, batch)
+        args_u = dataclasses.replace(args, scan_unroll=4)
+        init_u, learn_u, _, _ = make_learner(args_u, env)
+        _, loss4 = learn_u(lstate, batch)
+        np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-6)
+
     def test_target_sync_cadence(self):
         args, env, init, learn, lstate, res = self._setup("vdn")
         args.target_update_cycle = 3
