@@ -33,7 +33,7 @@ def main():
     env = make_env_from_args(args)
     args.update_env_info(env.env_info())
 
-    init, _, net, _ = make_learner(args, env)
+    init, _, net, _, _ = make_learner(args, env)
     lstate = init(jax.random.PRNGKey(0))
     from marl_dmfb_tpu.rollout import make_rollout
 

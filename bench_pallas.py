@@ -15,6 +15,9 @@ import jax.numpy as jnp
 from marl_dmfb_tpu.envs import make_env
 from marl_dmfb_tpu.envs.dmfb import step_core
 from marl_dmfb_tpu.ops.dmfb_step_pallas import pallas_step_batch
+# host-read sync + RTT subtraction: block_until_ready over the axon tunnel
+# can return early (utils/benchmarking.py)
+from marl_dmfb_tpu.utils.benchmarking import hostread, timeit_dispatch
 
 B = 1024
 env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
@@ -27,15 +30,11 @@ print("compiling pallas kernel...", flush=True)
 t0 = time.perf_counter()
 fn = jax.jit(lambda s, a, u: pallas_step_batch(params, s, a, u))
 out = fn(states, actions, uniforms)
-jax.block_until_ready(jax.tree.leaves(out)[0])
+hostread(out)
 t_compile = time.perf_counter() - t0
 print(f"pallas compile+first-run: {t_compile:.1f}s", flush=True)
 
-t0 = time.perf_counter()
-for _ in range(20):
-    out = fn(states, actions, uniforms)
-jax.block_until_ready(jax.tree.leaves(out)[0])
-t_pallas = (time.perf_counter() - t0) / 20
+t_pallas, _ = timeit_dispatch(fn, states, actions, uniforms, iters=100)
 print(f"pallas step: {t_pallas*1000:.3f} ms", flush=True)
 
 # XLA baseline: same single-step transition
@@ -43,12 +42,6 @@ def xla_step(s, a, u):
     return step_core(params, s, a, u)
 
 fx = jax.jit(jax.vmap(xla_step))
-out2 = fx(states, actions, uniforms)
-jax.block_until_ready(jax.tree.leaves(out2)[0])
-t0 = time.perf_counter()
-for _ in range(20):
-    out2 = fx(states, actions, uniforms)
-jax.block_until_ready(jax.tree.leaves(out2)[0])
-t_xla = (time.perf_counter() - t0) / 20
+t_xla, _ = timeit_dispatch(fx, states, actions, uniforms, iters=100)
 print(f"xla   step: {t_xla*1000:.3f} ms  (pallas/xla = {t_pallas/t_xla:.2f})",
       flush=True)

@@ -33,7 +33,7 @@ def main(per_device_b=1024, iters=3):
     args.apply_env_defaults()
     args.load_yaml()
     args.update_env_info(env.env_info())
-    init, _, net, _ = make_learner(args, env)
+    init, _, net, _, _ = make_learner(args, env)
     lst = init(jax.random.PRNGKey(0))
     rollout = make_rollout(env, net, args.rnn_hidden_dim)
     T = env.episode_limit
@@ -51,17 +51,18 @@ def main(per_device_b=1024, iters=3):
         run = lambda st, k: rollout(theta, st, k, jnp.float32(1.0),
                                     jnp.float32(0.0), jnp.float32(0.05),
                                     greedy=False)
-        # host-read sync: block_until_ready over the axon tunnel can
-        # return early (see marl_dmfb_tpu/utils/benchmarking.py)
-        from marl_dmfb_tpu.utils.benchmarking import hostread
+        # host-read sync + one RTT subtracted: block_until_ready over the
+        # axon tunnel can return early (marl_dmfb_tpu/utils/benchmarking.py)
+        from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
 
         res = run(states, jax.random.PRNGKey(2))
         hostread(res.episodes["r"])
+        rtt = measure_rtt()
         t0 = time.perf_counter()
         for i in range(iters):
             res = run(res.env_states, jax.random.PRNGKey(3 + i))
         hostread(res.episodes["r"])
-        dt = (time.perf_counter() - t0) / iters
+        dt = max(1e-9, time.perf_counter() - t0 - rtt) / iters
         sps = B * T / dt
         if base_sps is None:
             base_sps = sps
@@ -86,18 +87,19 @@ def main(per_device_b=1024, iters=3):
         )
 
         def timed(st, theta):
-            from marl_dmfb_tpu.utils.benchmarking import hostread
+            from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
 
             res = rollout(theta, st, jax.random.PRNGKey(2), jnp.float32(1.0),
                           jnp.float32(0.0), jnp.float32(0.05), greedy=False)
             hostread(res.episodes["r"])
+            rtt = measure_rtt()
             t0 = time.perf_counter()
             for i in range(iters):
                 res = rollout(theta, res.env_states, jax.random.PRNGKey(3 + i),
                               jnp.float32(1.0), jnp.float32(0.0),
                               jnp.float32(0.05), greedy=False)
             hostread(res.episodes["r"])
-            return B * T * iters / (time.perf_counter() - t0)
+            return B * T * iters / max(1e-9, time.perf_counter() - t0 - rtt)
 
         sps_plain = timed(states, lst.params["agent"])
         mesh = make_mesh(jax.devices())

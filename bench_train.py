@@ -60,7 +60,7 @@ def main(B=1024, iters=3, compute_dtype="float32"):
     args.load_yaml()
     env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
     args.update_env_info(env.env_info())
-    init, learn, net, learn_many = make_learner(args, env)
+    init, learn, net, learn_many, _ = make_learner(args, env)
     lstate = init(jax.random.PRNGKey(0))
     rollout = make_rollout(env, net, args.rnn_hidden_dim)
     states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))

@@ -26,9 +26,8 @@ class Agents:
         self.args = args
         self.n_actions = args.n_actions
         self.n_agents = args.n_agents
-        self.init_learner, self.learn, self.net, self.learn_many = (
-            make_learner(args, env)
-        )
+        (self.init_learner, self.learn, self.net, self.learn_many,
+         self.loss_fn) = make_learner(args, env)
         self.learner_state = self.init_learner(jax.random.PRNGKey(args.seed))
         self.eval_hidden = None
         self.init_hidden(1)

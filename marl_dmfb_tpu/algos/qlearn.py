@@ -260,9 +260,6 @@ def make_learner(args, env):
         )
 
     learn = jax.jit(_update)
-    # expose the raw TD loss for profiling (forward-only timing); jit
-    # wrappers reject attribute writes, plain functions don't
-    init.loss_fn = loss_fn
 
     @functools.partial(jax.jit, static_argnames=("n_updates",))
     def learn_many(state: LearnerState, replay_data: dict, replay_size,
@@ -286,4 +283,5 @@ def make_learner(args, env):
         state, losses = jax.lax.scan(body, state, keys)
         return state, jnp.mean(losses)
 
-    return init, learn, net, learn_many
+    # loss_fn is returned for forward-only profiling (profile_cycle.py)
+    return init, learn, net, learn_many, loss_fn

@@ -92,7 +92,7 @@ class Trainer:
 
         self.use_state = args.alg == "qmix"
         (self.init_learner, self.learn, self.net,
-         self.learn_many) = make_learner(args, env)
+         self.learn_many, self.loss_fn) = make_learner(args, env)
 
         key = jax.random.PRNGKey(args.seed)
         key, k_learn, k_envs, k_eval, self.key = jax.random.split(key, 5)
@@ -131,8 +131,18 @@ class Trainer:
         if eval_only:
             self.replay = None
         else:
+            capacity = args.buffer_size
+            if mesh is not None:
+                # shard_batch REPLICATES any leaf whose axis-0 size doesn't
+                # tile the mesh — for the multi-GB replay that would silently
+                # blow the HBM budget, so round capacity up like the batch
+                n_dev = int(mesh.devices.size)
+                if capacity % n_dev:
+                    capacity = ((capacity + n_dev - 1) // n_dev) * n_dev
+                    print(f"mesh: rounding replay capacity up to {capacity} "
+                          f"({n_dev} devices)", flush=True)
             self.replay = replay_lib.init_replay(
-                capacity=args.buffer_size,
+                capacity=capacity,
                 episode_limit=args.episode_limit,
                 n_agents=args.n_agents,
                 obs_dim=args.obs_shape[-1],
@@ -288,10 +298,11 @@ class Trainer:
             self.learner_state = fresh._replace(
                 params=ema, target_params=ema
             )
+            # evaluate() must use exactly the restored weights, not a live
+            # EMA from this process — drop any in-memory average
+            self.ema_params = None
             self.epsilon = jnp.asarray(tree["epsilon"])
             return
-        if self.ema_params is not None and "ema" in tree:
-            self.ema_params = restructure(self.ema_params, tree["ema"])
         self.learner_state = LearnerState(
             params=restructure(fresh.params, tree["learner"]["params"]),
             target_params=restructure(
@@ -303,6 +314,18 @@ class Trainer:
             ),
             train_step=jnp.asarray(tree["learner"]["train_step"]),
         )
+        if params_only:
+            # see above: a checkpoint without an 'ema' entry evaluates with
+            # its raw params, never this process's stale average
+            self.ema_params = None
+        elif self.ema_params is not None:
+            # resuming training with --param_ema: restore the saved average,
+            # or anchor to the restored weights when the checkpoint predates
+            # the flag (never to this process's random init)
+            self.ema_params = (
+                restructure(self.ema_params, tree["ema"])
+                if "ema" in tree else self.learner_state.params
+            )
         self.epsilon = jnp.asarray(tree["epsilon"])
 
     def train_cycle(self):

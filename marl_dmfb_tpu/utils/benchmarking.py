@@ -37,6 +37,27 @@ def measure_rtt(iters: int = 5) -> float:
     return sorted(ts)[len(ts) // 2]
 
 
+def timeit_dispatch(fn, *args, iters: int = 50, warmup: int = 2,
+                    subtract_rtt: bool = True):
+    """Per-call seconds of ``fn(*args)`` dispatched ``iters`` times
+    back-to-back, returned as ``(seconds, last_result)``.
+
+    The device executes dispatches in order, so a single host read of the
+    final result syncs the whole chain; one tunnel round trip is
+    subtracted.  This is THE timing recipe for same-args benchmark calls —
+    use it instead of re-implementing the warmup/hostread/RTT dance."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    hostread(out)
+    rtt = measure_rtt() if subtract_rtt else 0.0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    hostread(out)
+    return max(1e-9, time.perf_counter() - t0 - rtt) / iters, out
+
+
 def timeit_chained(step, iters: int, warmup: int = 1) -> float:
     """Per-iteration seconds of ``state = step(state)`` chained ``iters``
     times, synced by a host read of the final state."""

@@ -32,22 +32,11 @@ from marl_dmfb_tpu.rollout import make_rollout
 from bench_train import estimate_learn_flops
 
 
-def timed(fn, *a, iters=10, **kw):
-    """Host-read-synced timing: block_until_ready over the axon tunnel can
-    return before remote execution finishes (utils/benchmarking.py), so the
-    timed region ends with a scalar device->host read; the device executes
-    dispatches in order, so syncing the last call covers the chain.  One
-    tunnel round trip (~40ms) is subtracted."""
-    from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
+def timed(fn, *a, iters=10):
+    """Host-read-synced timing (see utils/benchmarking.timeit_dispatch)."""
+    from marl_dmfb_tpu.utils.benchmarking import timeit_dispatch
 
-    out = fn(*a, **kw)
-    hostread(out)
-    rtt = measure_rtt()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*a, **kw)
-    hostread(out)
-    return max(1e-9, (time.perf_counter() - t0 - rtt)) / iters, out
+    return timeit_dispatch(fn, *a, iters=iters, warmup=1)
 
 
 def emit(metric, ms, note=""):
@@ -64,7 +53,7 @@ def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=1):
     args.load_yaml()
     env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
     args.update_env_info(env.env_info())
-    init, learn, net, learn_many = make_learner(args, env)
+    init, learn, net, learn_many, loss_fn = make_learner(args, env)
     lstate = init(jax.random.PRNGKey(0))
     rollout = make_rollout(env, net, args.rnn_hidden_dim)
     states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
@@ -116,7 +105,7 @@ def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=1):
          f"batch={args.batch_size}, T={args.episode_limit} BPTT")
 
     # forward-only: the TD loss without the backward pass
-    loss_only = jax.jit(lambda ls, b: init.loss_fn(
+    loss_only = jax.jit(lambda ls, b: loss_fn(
         ls.params, ls.target_params, b))
     dt_fwd, _ = timed(loss_only, lstate, batch, iters=50)
     emit("learn_forward_only_ms", dt_fwd, "loss eval, no grad")

@@ -46,7 +46,7 @@ def main():
     env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
     args.update_env_info(env.env_info())
 
-    init, learn, net, learn_many = make_learner(args, env)
+    init, learn, net, learn_many, _ = make_learner(args, env)
     mesh = make_mesh()  # global mesh spanning both processes
     lstate = replicate(mesh, init(jax.random.PRNGKey(0)))
     # every process computes the same global host array; shard_batch

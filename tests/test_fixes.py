@@ -96,6 +96,50 @@ def test_param_ema_tracks_and_restores(tmp_path):
         kernel(t2.learner_state.params), e, rtol=1e-6)
 
 
+def test_params_only_restore_overrides_live_ema(tmp_path):
+    """evaluate_total-style restores on a --param_ema trainer must score the
+    RESTORED checkpoint, not the stale in-memory EMA: after
+    load_model(params_only=True) the trainer evaluates with exactly the
+    checkpoint's weights."""
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, small_args(tmp_path, param_ema=0.9))
+    tr.save_model("t0")                      # checkpoint the init-state EMA
+    saved = jax.tree.map(np.asarray, tr.ema_params)
+    tr.train_cycle()                         # live EMA drifts away
+    kernel = lambda t: np.asarray(jax.tree.leaves(t["agent"])[0])
+    assert not np.allclose(kernel(saved), kernel(tr.ema_params))
+    tr.load_model("t0", params_only=True)
+    assert tr.ema_params is None             # live EMA dropped
+    np.testing.assert_allclose(
+        kernel(tr.learner_state.params), kernel(saved), rtol=1e-6)
+
+
+def test_resume_param_ema_from_ema_less_checkpoint(tmp_path):
+    """Resuming with --param_ema from a checkpoint saved WITHOUT it must
+    anchor the EMA to the restored weights, not this process's random
+    init."""
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, small_args(tmp_path))       # no EMA
+    tr.train_cycle()
+    tr.save_model("noema")
+    t2 = Trainer(env, small_args(tmp_path, param_ema=0.9, seed=7))
+    t2.load_model("noema")                        # full-state resume
+    kernel = lambda t: np.asarray(jax.tree.leaves(t["agent"])[0])
+    np.testing.assert_allclose(
+        kernel(t2.ema_params), kernel(t2.learner_state.params), rtol=1e-6)
+
+
+def test_mesh_replay_capacity_rounds_to_tile(tmp_path):
+    """A buffer size that doesn't tile the mesh must be rounded up, not
+    silently replicated onto every device (multi-GB HBM blowout)."""
+    from marl_dmfb_tpu.parallel.mesh import make_mesh
+
+    env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+    tr = Trainer(env, small_args(tmp_path, buffer_size=30), mesh=make_mesh())
+    assert tr.replay.data["u"].shape[0] == 32     # rounded up to tile 8
+    assert not tr.replay.data["u"].sharding.is_fully_replicated
+
+
 def test_episode_anneal_scale_decrements_per_episode(tmp_path):
     """With epsilon_anneal_scale == 'episode', a rollout of B episodes
     consumes B schedule steps (reference decrements once per generated
@@ -180,8 +224,8 @@ def test_lr_decay_and_remat_train(tmp_path):
     args_a.update_env_info(env.env_info())
     args_b = small_args(tmp_path, remat=True)
     args_b.update_env_info(env.env_info())
-    init_a, learn_a, net, _ = make_learner(args_a, env)
-    init_b, learn_b, _, _ = make_learner(args_b, env)
+    init_a, learn_a, net, _, _ = make_learner(args_a, env)
+    init_b, learn_b, _, _, _ = make_learner(args_b, env)
     lstate = init_a(jax.random.PRNGKey(0))
     states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), 4))
     rollout = make_rollout(env, net, args_a.rnn_hidden_dim)
@@ -217,8 +261,8 @@ def test_fused_streams_loss_identical(tmp_path):
     args_a.update_env_info(env.env_info())
     args_b = small_args(tmp_path, fused_streams=True)
     args_b.update_env_info(env.env_info())
-    init_a, learn_a, net, _ = make_learner(args_a, env)
-    init_b, learn_b, _, _ = make_learner(args_b, env)
+    init_a, learn_a, net, _, _ = make_learner(args_a, env)
+    init_b, learn_b, _, _, _ = make_learner(args_b, env)
     lstate = init_a(jax.random.PRNGKey(0))
     states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), 4))
     rollout = make_rollout(env, net, args_a.rnn_hidden_dim)

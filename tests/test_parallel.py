@@ -24,7 +24,7 @@ def setup():
                 batch_size=16, buffer_size=64, n_parallel_envs=16)
     env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
     args.update_env_info(env.env_info())
-    init, learn, net, learn_many = make_learner(args, env)
+    init, learn, net, learn_many, _ = make_learner(args, env)
     return args, env, init, learn, net
 
 

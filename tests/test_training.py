@@ -66,7 +66,7 @@ class TestRollout:
     def _rollout(self, greedy=False, seed=0):
         from marl_dmfb_tpu.algos.qlearn import make_learner as ml
 
-        init, learn, net, _ = ml(self.args, self.env)
+        init, learn, net, _, _ = ml(self.args, self.env)
         lstate = init(jax.random.PRNGKey(seed))
         B = self.args.rollout_batch
         states = jax.vmap(self.env.init)(
@@ -131,7 +131,7 @@ class TestLearner:
     def _setup(self, alg="vdn"):
         args = small_args(alg=alg)
         env = small_env(args)
-        init, learn, net, learn_many = make_learner(args, env)
+        init, learn, net, learn_many, _ = make_learner(args, env)
         lstate = init(jax.random.PRNGKey(0))
         B = args.rollout_batch
         states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
@@ -168,14 +168,14 @@ class TestLearner:
         batch = res.episodes
         _, loss1 = learn(lstate, batch)
         args_u = dataclasses.replace(args, scan_unroll=4)
-        init_u, learn_u, _, _ = make_learner(args_u, env)
+        init_u, learn_u, _, _, _ = make_learner(args_u, env)
         _, loss4 = learn_u(lstate, batch)
         np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-6)
 
     def test_target_sync_cadence(self):
         args, env, init, learn, lstate, res = self._setup("vdn")
         args.target_update_cycle = 3
-        init, learn, net, learn_many = make_learner(args, env)
+        init, learn, net, learn_many, _ = make_learner(args, env)
         lstate = init(jax.random.PRNGKey(0))
         batch = res.episodes
 
@@ -197,7 +197,7 @@ class TestLearnMany:
     def test_fused_updates_advance_state(self):
         args = small_args()
         env = small_env(args)
-        init, learn, net, learn_many = make_learner(args, env)
+        init, learn, net, learn_many, _ = make_learner(args, env)
         lstate = init(jax.random.PRNGKey(0))
         B = args.rollout_batch
         states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
