@@ -2,6 +2,9 @@
 -> env step) on DMFB 10x10, 4 droplets, fov 9 — the BASELINE.json headline
 config.  Prints ONE JSON line.
 
+Usage: python bench.py [B] [n_blocks] [env]
+  env = dmfb (default) or meda (30x60, 4 droplets, fov 19, v0.2 obs).
+
 The reference never recorded throughput (SURVEY §6); BASELINE.json's
 north-star target is >= 1e6 env-steps/s per host on this config, which is
 used as the baseline denominator.
@@ -25,9 +28,13 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    env_name = sys.argv[3] if len(sys.argv) > 3 else "dmfb"
 
-    args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
-                n_parallel_envs=B, block_num=n_blocks)
+    if env_name == "meda":
+        args = Args(name="meda", drop_num=4, n_parallel_envs=B)
+    else:
+        args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
+                    n_parallel_envs=B, block_num=n_blocks)
     args.apply_env_defaults()
     args.load_yaml()
     env = make_env_from_args(args)
@@ -66,8 +73,10 @@ def main():
 
     env_steps = B * T * iters  # lockstep steps x batch
     sps = env_steps / dt
+    metric = ("actor_env_steps_per_sec" if env_name == "dmfb"
+              else f"actor_env_steps_per_sec_{env_name}")
     print(json.dumps({
-        "metric": "actor_env_steps_per_sec",
+        "metric": metric,
         "value": round(sps),
         "unit": "env-steps/s",
         "vs_baseline": round(sps / 1e6, 4),
