@@ -291,10 +291,30 @@ class Trainer:
                     )
             return jax.tree.unflatten(treedef, leaves)
 
+        def restructure_params(template, data):
+            # Network-params restore: the "agent" subtree must match
+            # exactly, but a QMIX "mixer" is state-conditioned on the
+            # TRAINING board's W*L and greedy evaluation never calls it —
+            # so on a params_only cross-board eval (e.g. a 20x20-trained
+            # QMIX evaluated zero-shot on 50x50, the reference
+            # evaluate.py generalization workload) the mismatched mixer
+            # is dropped and the eval board's fresh mixer kept (unused).
+            if not (params_only and "mixer" in template and "mixer" in data):
+                return restructure(template, data)
+            out = {"agent": restructure(template["agent"], data["agent"])}
+            try:
+                out["mixer"] = restructure(template["mixer"], data["mixer"])
+            except ValueError:
+                print("load_model: QMIX mixer shape is tied to the training "
+                      "board; keeping a fresh (unused-in-eval) mixer for "
+                      "this board size", flush=True)
+                out["mixer"] = template["mixer"]
+            return out
+
         fresh = self.learner_state
         if params_only and "ema" in tree:
             # evaluation restores the EMA (deploy) params when present
-            ema = restructure(fresh.params, tree["ema"])
+            ema = restructure_params(fresh.params, tree["ema"])
             self.learner_state = fresh._replace(
                 params=ema, target_params=ema
             )
@@ -304,8 +324,10 @@ class Trainer:
             self.epsilon = jnp.asarray(tree["epsilon"])
             return
         self.learner_state = LearnerState(
-            params=restructure(fresh.params, tree["learner"]["params"]),
-            target_params=restructure(
+            params=restructure_params(
+                fresh.params, tree["learner"]["params"]
+            ),
+            target_params=restructure_params(
                 fresh.target_params, tree["learner"]["target_params"]
             ),
             opt_state=(

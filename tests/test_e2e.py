@@ -69,3 +69,67 @@ class TestResume:
         assert int(t2.learner_state.train_step) == step_before
         t2.train_cycle()  # exercises the restored optimizer state
         assert int(t2.learner_state.train_step) > step_before
+
+
+class TestCrossBoardQmixEval:
+    def test_qmix_params_only_restore_on_bigger_board(self, tmp_path):
+        """A QMIX checkpoint evaluates zero-shot on a DIFFERENT board size:
+        the state-conditioned mixer's hypernet is tied to the training
+        board's W*L, but greedy evaluation never calls the mixer, so
+        ``load_model(params_only=True)`` keeps a fresh mixer when shapes
+        mismatch instead of failing (reference evaluate.py generalization
+        workload, evaluate.py:7-29)."""
+        args = Args(
+            name="dmfb", alg="qmix", drop_num=2, fov=5,
+            batch_size=8, buffer_size=32, n_parallel_envs=4,
+            evaluate_task=4, evaluate_cycle=400, n_steps=400,
+            anneal_steps=500, data_dir=str(tmp_path),
+        )
+        args.width = args.length = 5
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        t1 = Trainer(env, args)
+        t1.train_cycle()
+        t1.save_model("final")
+        agent_leaf = jax.tree.leaves(t1.learner_state.params["agent"])[0]
+
+        big_args = Args(
+            name="dmfb", alg="qmix", drop_num=2, fov=5,
+            evaluate_task=4, data_dir=str(tmp_path),
+        )
+        big_args.width = big_args.length = 9
+        big_env = make_env("dmfb", width=9, length=9, n_droplets=2, fov=5)
+        t2 = Trainer(big_env, big_args, eval_only=True)
+        t2.load_model("final", params_only=True)
+        # agent params restored exactly; mixer fell back to fresh
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(t2.learner_state.params["agent"])[0]),
+            np.asarray(agent_leaf),
+        )
+        m = t2.evaluate()
+        assert np.isfinite(m["success_rate"])
+
+    def test_qmix_full_restore_still_strict(self, tmp_path):
+        """A FULL (training-resume) restore must still fail loudly on a
+        board-size mismatch — leniency is params_only-specific."""
+        args = Args(
+            name="dmfb", alg="qmix", drop_num=2, fov=5,
+            batch_size=8, buffer_size=32, n_parallel_envs=4,
+            evaluate_task=4, evaluate_cycle=400, n_steps=400,
+            anneal_steps=500, data_dir=str(tmp_path),
+        )
+        args.width = args.length = 5
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        t1 = Trainer(env, args)
+        t1.train_cycle()
+        t1.save_model("final")
+
+        big_args = Args(
+            name="dmfb", alg="qmix", drop_num=2, fov=5,
+            batch_size=8, buffer_size=32, n_parallel_envs=4,
+            evaluate_task=4, data_dir=str(tmp_path),
+        )
+        big_args.width = big_args.length = 9
+        big_env = make_env("dmfb", width=9, length=9, n_droplets=2, fov=5)
+        t2 = Trainer(big_env, big_args)
+        with pytest.raises(ValueError):
+            t2.load_model("final")
