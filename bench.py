@@ -26,7 +26,7 @@ def main():
     from marl_dmfb_tpu.algos.qlearn import make_learner
     from marl_dmfb_tpu.config import Args, make_env_from_args
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     env_name = sys.argv[3] if len(sys.argv) > 3 else "dmfb"
 

@@ -79,6 +79,22 @@ def make_optimizer(args) -> optax.GradientTransformation:
     return optax.chain(clip, opt)
 
 
+def _scan_unroll(args) -> int:
+    """Effective unroll factor for the BPTT time scans.
+
+    ``--scan_unroll=0`` (the default) auto-selects: FULLY unroll short
+    horizons — measured on the v5e, full unroll is ~20% faster per update
+    at T=40 (2.48 vs 3.08 ms, batch 128) but only ~5% at T=80 while
+    compile time keeps growing (partial unrolls that don't divide T, e.g.
+    16 into 40, measured SLOWER than no unroll) — and leave longer scans
+    rolled.  An explicit value is used as-is."""
+    su = getattr(args, "scan_unroll", 0)
+    if su and su > 0:
+        return su
+    T = getattr(args, "episode_limit", 0)
+    return T if 0 < T <= 64 else 1
+
+
 def make_learner(args, env):
     """Build (init_fn, learn_fn) for args.alg in {vdn, qmix}."""
     net = build_agent_net(args)
@@ -142,9 +158,7 @@ def make_learner(args, env):
             cell = jax.checkpoint(cell)
         x_tb = inputs.transpose(1, 0, 2, 3).reshape(T, b * N, -1)
         h0 = jnp.zeros((b * N, H), jnp.float32)
-        _, q_t = jax.lax.scan(
-            cell, h0, x_tb, unroll=getattr(args, "scan_unroll", 1)
-        )
+        _, q_t = jax.lax.scan(cell, h0, x_tb, unroll=_scan_unroll(args))
         return q_t.reshape(T, b, N, A).transpose(1, 0, 2, 3)
 
     def unroll_pair(eval_params, target_params, eval_in, tgt_in):
@@ -174,7 +188,7 @@ def make_learner(args, env):
             cell = jax.checkpoint(cell)
         h0 = jnp.zeros((2, b * N, H), jnp.float32)
         _, q_t = jax.lax.scan(
-            cell, h0, x2, unroll=getattr(args, "scan_unroll", 1)
+            cell, h0, x2, unroll=_scan_unroll(args)
         )                                            # (T, 2, b*N, A)
         q_t = q_t.reshape(T, 2, b, N, A).transpose(1, 2, 0, 3, 4)
         return q_t[0], q_t[1]
