@@ -172,6 +172,23 @@ class TestLearner:
         _, loss4 = learn_u(lstate, batch)
         np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-6)
 
+    def test_scan_unroll_auto_selection(self):
+        # 0 (default) = full unroll for short horizons, rolled for long;
+        # an explicit value is used as-is
+        from marl_dmfb_tpu.algos.qlearn import _scan_unroll
+
+        class A:
+            scan_unroll = 0
+            episode_limit = 40
+
+        assert _scan_unroll(A) == 40
+        A.episode_limit = 64
+        assert _scan_unroll(A) == 64
+        A.episode_limit = 80
+        assert _scan_unroll(A) == 1
+        A.scan_unroll = 8
+        assert _scan_unroll(A) == 8
+
     def test_target_sync_cadence(self):
         args, env, init, learn, lstate, res = self._setup("vdn")
         args.target_update_cycle = 3
