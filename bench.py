@@ -2,8 +2,9 @@
 -> env step) on DMFB 10x10, 4 droplets, fov 9 — the BASELINE.json headline
 config.  Prints ONE JSON line.
 
-Usage: python bench.py [B] [n_blocks] [env]
+Usage: python bench.py [B] [n_blocks] [env] [dtype]
   env = dmfb (default) or meda (30x60, 4 droplets, fov 19, v0.2 obs).
+  dtype = float32 (default, parity) or bf16 (MXU-native net forward).
 
 The reference never recorded throughput (SURVEY §6); BASELINE.json's
 north-star target is >= 1e6 env-steps/s per host on this config, which is
@@ -29,12 +30,15 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     env_name = sys.argv[3] if len(sys.argv) > 3 else "dmfb"
+    dtype = sys.argv[4] if len(sys.argv) > 4 else "float32"
 
     if env_name == "meda":
-        args = Args(name="meda", drop_num=4, n_parallel_envs=B)
+        args = Args(name="meda", drop_num=4, n_parallel_envs=B,
+                    compute_dtype=dtype)
     else:
         args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
-                    n_parallel_envs=B, block_num=n_blocks)
+                    n_parallel_envs=B, block_num=n_blocks,
+                    compute_dtype=dtype)
     args.apply_env_defaults()
     args.load_yaml()
     env = make_env_from_args(args)
@@ -75,6 +79,8 @@ def main():
     sps = env_steps / dt
     metric = ("actor_env_steps_per_sec" if env_name == "dmfb"
               else f"actor_env_steps_per_sec_{env_name}")
+    if dtype != "float32":
+        metric += f"_{dtype}"
     print(json.dumps({
         "metric": metric,
         "value": round(sps),
