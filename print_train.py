@@ -18,8 +18,8 @@ from marl_dmfb_tpu.config import get_train_args, make_env_from_args
 from marl_dmfb_tpu.trainer import Trainer
 
 
-def main():
-    args = get_train_args()
+def main(argv=None):
+    args = get_train_args(argv)
     if args.load_model:
         env = make_env_from_args(args)
         trainer = Trainer(env, args, eval_only=True)
