@@ -13,7 +13,6 @@ used as the baseline denominator.
 
 import json
 import sys
-import time
 
 from marl_dmfb_tpu.utils import apply_platform_env
 
@@ -33,6 +32,9 @@ def main():
     dtype = sys.argv[4] if len(sys.argv) > 4 else "float32"
 
     if env_name == "meda":
+        if n_blocks:
+            raise SystemExit("bench.py: meda has no obstacle blocks; "
+                             "n_blocks must be 0")
         args = Args(name="meda", drop_num=4, n_parallel_envs=B,
                     compute_dtype=dtype)
     else:
@@ -56,29 +58,25 @@ def main():
                        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
                        greedy=False)
 
-    # warmup/compile.  Timing methodology: block_until_ready over the axon
-    # tunnel can return before remote execution finishes, so the timed
-    # region ends with a host read (utils/benchmarking.py); iterations are
-    # chained through env_states so nothing can overlap out of order.
-    from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
+    # Timing methodology: block_until_ready over the axon tunnel can return
+    # before remote execution finishes, so the timed region ends with a host
+    # read and subtracts one RTT (utils/benchmarking.timeit_chained);
+    # iterations are chained through env_states so nothing can overlap out
+    # of order.
+    from marl_dmfb_tpu.utils.benchmarking import timeit_chained
 
-    res = run(states, jax.random.PRNGKey(2))
-    hostread(res.episodes["r"])
-    states = res.env_states
+    def bench_step(i, carry):
+        st = carry.env_states if hasattr(carry, "env_states") else carry
+        return run(st, jax.random.PRNGKey(2 + i))
 
     T = env.episode_limit
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        res = run(states, jax.random.PRNGKey(3 + i))
-        states = res.env_states
-    hostread(res.episodes["r"])
-    dt = time.perf_counter() - t0 - measure_rtt()
+    sec = timeit_chained(bench_step, states, iters=10)
 
-    env_steps = B * T * iters  # lockstep steps x batch
-    sps = env_steps / dt
+    sps = B * T / sec  # lockstep steps x batch per iteration
     metric = ("actor_env_steps_per_sec" if env_name == "dmfb"
               else f"actor_env_steps_per_sec_{env_name}")
+    if n_blocks:
+        metric += f"_blocks{n_blocks}"  # keep the 0-block headline distinct
     if dtype != "float32":
         metric += f"_{dtype}"
     print(json.dumps({

@@ -11,7 +11,6 @@ Prints one JSON line per mesh size.
 """
 
 import json
-import time
 
 from marl_dmfb_tpu.utils import apply_platform_env
 
@@ -25,6 +24,7 @@ from marl_dmfb_tpu.config import Args
 from marl_dmfb_tpu.envs import make_env
 from marl_dmfb_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from marl_dmfb_tpu.rollout import make_rollout
+from marl_dmfb_tpu.utils.benchmarking import timeit_chained
 
 
 def main(per_device_b=1024, iters=3):
@@ -48,22 +48,15 @@ def main(per_device_b=1024, iters=3):
             jax.random.split(jax.random.PRNGKey(1), B)
         ))
         theta = replicate(mesh, lst.params["agent"])
-        run = lambda st, k: rollout(theta, st, k, jnp.float32(1.0),
-                                    jnp.float32(0.0), jnp.float32(0.05),
-                                    greedy=False)
         # host-read sync + one RTT subtracted: block_until_ready over the
         # axon tunnel can return early (marl_dmfb_tpu/utils/benchmarking.py)
-        from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
+        def bench_step(i, carry, theta=theta):
+            st = carry.env_states if hasattr(carry, "env_states") else carry
+            return rollout(theta, st, jax.random.PRNGKey(2 + i),
+                           jnp.float32(1.0), jnp.float32(0.0),
+                           jnp.float32(0.05), greedy=False)
 
-        res = run(states, jax.random.PRNGKey(2))
-        hostread(res.episodes["r"])
-        rtt = measure_rtt()
-        t0 = time.perf_counter()
-        for i in range(iters):
-            res = run(res.env_states, jax.random.PRNGKey(3 + i))
-        hostread(res.episodes["r"])
-        dt = max(1e-9, time.perf_counter() - t0 - rtt) / iters
-        sps = B * T / dt
+        sps = B * T / timeit_chained(bench_step, states, iters=iters)
         if base_sps is None:
             base_sps = sps
         eff = sps / (base_sps * nd)
@@ -87,19 +80,13 @@ def main(per_device_b=1024, iters=3):
         )
 
         def timed(st, theta):
-            from marl_dmfb_tpu.utils.benchmarking import hostread, measure_rtt
+            def bench_step(i, carry):
+                s = carry.env_states if hasattr(carry, "env_states") else carry
+                return rollout(theta, s, jax.random.PRNGKey(2 + i),
+                               jnp.float32(1.0), jnp.float32(0.0),
+                               jnp.float32(0.05), greedy=False)
 
-            res = rollout(theta, st, jax.random.PRNGKey(2), jnp.float32(1.0),
-                          jnp.float32(0.0), jnp.float32(0.05), greedy=False)
-            hostread(res.episodes["r"])
-            rtt = measure_rtt()
-            t0 = time.perf_counter()
-            for i in range(iters):
-                res = rollout(theta, res.env_states, jax.random.PRNGKey(3 + i),
-                              jnp.float32(1.0), jnp.float32(0.0),
-                              jnp.float32(0.05), greedy=False)
-            hostread(res.episodes["r"])
-            return B * T * iters / max(1e-9, time.perf_counter() - t0 - rtt)
+            return B * T / timeit_chained(bench_step, st, iters=iters)
 
         sps_plain = timed(states, lst.params["agent"])
         mesh = make_mesh(jax.devices())

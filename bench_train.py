@@ -6,7 +6,6 @@ headline bench.py reports the actor loop; this gives the learner picture.
 """
 
 import json
-import time
 
 from marl_dmfb_tpu.utils import apply_platform_env
 
@@ -80,24 +79,24 @@ def main(B=1024, iters=3, compute_dtype="float32"):
         lstate, loss = learn_many(lstate, rb.data, rb.size, sub, updates)
         return lstate, res.env_states, rb, loss
 
-    # warmup.  Timing: host-read sync only — block_until_ready over the
-    # axon tunnel can return before remote execution finishes (see
-    # marl_dmfb_tpu/utils/benchmarking.py); chains are long enough to
-    # amortize the ~40ms tunnel round trip.
-    from marl_dmfb_tpu.utils.benchmarking import hostread
+    # Timing: host-read sync + one RTT subtracted — block_until_ready over
+    # the axon tunnel can return before remote execution finishes (see
+    # marl_dmfb_tpu/utils/benchmarking.py).
+    from marl_dmfb_tpu.utils.benchmarking import hostread, timeit_chained
 
     lstate, states, rb, loss = cycle(lstate, states, rb, jax.random.PRNGKey(2))
     hostread(loss)
 
     # learn-only
     batch = replay_lib.sample(rb, jax.random.PRNGKey(3), args.batch_size)
-    lstate, loss = learn(lstate, batch)
-    hostread(loss)
-    t0 = time.perf_counter()
-    for _ in range(100):
-        lstate, loss = learn(lstate, batch)
-    hostread(loss)
-    dt_learn = (time.perf_counter() - t0) / 100
+
+    def learn_step(i, carry):
+        # carry is the initial LearnerState (a NamedTuple with .params) or
+        # learn's (state, loss) result tuple
+        ls = carry if hasattr(carry, "params") else carry[0]
+        return learn(ls, batch)
+
+    dt_learn = timeit_chained(learn_step, lstate, iters=100)
     print(json.dumps({"metric": "learn_step_ms",
                       "value": round(dt_learn * 1000, 2), "unit": "ms",
                       "vs_baseline": None}))
@@ -111,12 +110,11 @@ def main(B=1024, iters=3, compute_dtype="float32"):
     }))
 
     # full loop
-    t0 = time.perf_counter()
-    for i in range(iters):
-        lstate, states, rb, loss = cycle(lstate, states, rb,
-                                         jax.random.PRNGKey(4 + i))
-    hostread(loss)
-    dt = (time.perf_counter() - t0) / iters
+    def cycle_step(i, carry):
+        ls, st, r, _ = carry
+        return cycle(ls, st, r, jax.random.PRNGKey(4 + i))
+
+    dt = timeit_chained(cycle_step, (lstate, states, rb, loss), iters=iters)
     sps = B * T / dt
     print(json.dumps({"metric": "train_loop_env_steps_per_sec",
                       "value": round(sps), "unit": "env-steps/s",

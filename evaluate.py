@@ -44,6 +44,8 @@ def evaluate_rendered(trainer: Trainer, args) -> dict:
 
     step = jax.jit(env.step)
     reset = jax.jit(env.reset, static_argnames=("new",))
+    observe = jax.jit(env.observe)  # un-jitted it eagerly dispatches the
+    # whole FOV-obs graph op-by-op (~40ms/op over the tunnel)
     save_path = None
     if args.show_save:
         save_path = os.path.join(
@@ -62,7 +64,7 @@ def evaluate_rendered(trainer: Trainer, args) -> dict:
         renderer.draw(state)
         ep_r, ep_c, ok, t_used = 0.0, 0, 0, T
         for t in range(T):
-            obs = env.observe(state)
+            obs = observe(state)
             a, h = act(obs, last, h)
             last = jax.nn.one_hot(a, A)
             state, out = step(state, a)

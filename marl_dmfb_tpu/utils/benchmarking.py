@@ -58,15 +58,23 @@ def timeit_dispatch(fn, *args, iters: int = 50, warmup: int = 2,
     return max(1e-9, time.perf_counter() - t0 - rtt) / iters, out
 
 
-def timeit_chained(step, iters: int, warmup: int = 1) -> float:
-    """Per-iteration seconds of ``state = step(state)`` chained ``iters``
-    times, synced by a host read of the final state."""
-    state = None
-    for _ in range(warmup):
-        state = step(state)
+def timeit_chained(step, init, iters: int, warmup: int = 1,
+                   subtract_rtt: bool = True) -> float:
+    """Per-iteration seconds of ``state = step(i, state)`` chained ``iters``
+    times from ``init``, synced by a host read of the final state.
+
+    ``i`` is a monotone call counter (warmup calls included) so the step can
+    derive a fresh PRNG key per iteration without host-side state.  One
+    tunnel round trip is subtracted and the result clamped positive — the
+    chained recipe for iteration-dependent benchmark calls; use it instead
+    of re-implementing the warmup/hostread/RTT dance."""
+    state = init
+    for i in range(warmup):
+        state = step(i, state)
     hostread(state)
+    rtt = measure_rtt() if subtract_rtt else 0.0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state = step(state)
+    for i in range(iters):
+        state = step(warmup + i, state)
     hostread(state)
-    return (time.perf_counter() - t0) / iters
+    return max(1e-9, time.perf_counter() - t0 - rtt) / iters

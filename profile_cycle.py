@@ -15,7 +15,6 @@ Prints one JSON line per phase.  This is the evidence behind the
 
 import json
 import sys
-import time
 
 from marl_dmfb_tpu.utils import apply_platform_env
 
@@ -45,7 +44,9 @@ def emit(metric, ms, note=""):
                       "vs_baseline": None}), flush=True)
 
 
-def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=1):
+def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=0):
+    # scan_unroll=0 (auto: full unroll at T<=64) matches the trainer's
+    # default, so the profiled learn step is the one train.py actually runs.
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
                 n_parallel_envs=B, compute_dtype=compute_dtype,
                 scan_unroll=scan_unroll)
@@ -68,8 +69,10 @@ def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=1):
         return rollout(lstate.params["agent"], st, key, jnp.float32(1.0),
                        jnp.float32(0.0), jnp.float32(0.05), greedy=False)
 
+    from marl_dmfb_tpu.utils.benchmarking import hostread
+
     res = roll(states, jax.random.PRNGKey(2))
-    jax.block_until_ready(res.episodes["r"])
+    hostread(res.episodes["r"])
     # store donates rb; re-init per timing call is wrong, so time it on
     # fresh copies via a jitted non-donating wrapper
     store_nodonate = jax.jit(lambda rb, ep: replay_lib.store(rb, ep))
@@ -127,11 +130,13 @@ def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=1):
     emit("learn_many_ms", dt_many, f"{updates} fused updates")
 
     if trace_dir:
+        # hostread, not block_until_ready: the latter can return before the
+        # remote execution finishes (CLAUDE.md), truncating the trace.
         with jax.profiler.trace(trace_dir):
             r2 = roll(res.env_states, jax.random.PRNGKey(6))
-            jax.block_until_ready(r2.episodes["r"])
+            hostread(r2.episodes["r"])
             ls2, loss = learn(lstate, batch)
-            jax.block_until_ready(loss)
+            hostread(loss)
         print(json.dumps({"metric": "trace_dir", "value": trace_dir,
                           "unit": "jax.profiler trace (tensorboard)",
                           "vs_baseline": None}), flush=True)
@@ -142,7 +147,7 @@ if __name__ == "__main__":
     tr = next((a.split("=", 1)[1] for a in sys.argv[1:]
                if a.startswith("--trace=")), "")
     su = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
-               if a.startswith("--scan_unroll=")), 1)
+               if a.startswith("--scan_unroll=")), 0)
     main(B=int(pos[0]) if pos else 1024,
          compute_dtype=pos[1] if len(pos) > 1 else "float32",
          trace_dir=tr, scan_unroll=su)
