@@ -8,6 +8,8 @@ captures a ``jax.profiler`` trace for offline inspection.
 
 Usage:
     python profile_cycle.py [B] [compute_dtype] [--trace=/tmp/trace]
+                            [--actor_split]   # decompose the fused rollout
+                                              # into env / net / glue phases
 
 Prints one JSON line per phase.  This is the evidence behind the
 "speed-of-light" per-chip claims (see RESULTS.md, Profiling section).
@@ -44,7 +46,8 @@ def emit(metric, ms, note=""):
                       "vs_baseline": None}), flush=True)
 
 
-def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=0):
+def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=0,
+         actor_split=False):
     # scan_unroll=0 (auto: full unroll at T<=64) matches the trainer's
     # default, so the profiled learn step is the one train.py actually runs.
     args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
@@ -95,6 +98,60 @@ def main(B=1024, compute_dtype="float32", trace_dir="", scan_unroll=0):
         "unit": f"TFLOP/s analytic net-forward ({compute_dtype})",
         "vs_baseline": round(f_roll / dt_roll / 1e12 / 197.0, 4),
     }), flush=True)
+
+    if actor_split:
+        # Decompose the fused rollout: (a) env step+obs only (random
+        # actions, no net), (b) net forward only (T-step scan over fixed
+        # obs).  The residual vs the full rollout is scan glue (eps
+        # sampling, live-masking, transition writes, o_ext concat).
+        N, A = env.n_agents, env.n_actions
+
+        @jax.jit
+        def env_only(env_states, key):
+            env_states = jax.vmap(lambda s: env.reset(s, new=False))(
+                env_states)
+
+            def step_fn(carry, _):
+                st, k = carry
+                k, k_a = jax.random.split(k)
+                a = jax.random.randint(k_a, (B, N), 0, A, jnp.int32)
+                st2, out = jax.vmap(env.step)(st, a)
+                return (st2, k), out.team_reward
+
+            (stf, _), rews = jax.lax.scan(
+                step_fn, (env_states, key), None, length=T)
+            return stf, rews.sum()
+
+        dt_env, _ = timed(lambda k: env_only(res.env_states, k),
+                          jax.random.PRNGKey(7), iters=5)
+        emit("rollout_env_only_ms", dt_env,
+             f"env step+obs, random actions; {dt_env/dt_roll:.0%} of full")
+
+        from marl_dmfb_tpu.models.networks import build_agent_net
+
+        agent_net = build_agent_net(args)
+        obs0 = jax.vmap(env.observe)(res.env_states)
+        x0 = jnp.concatenate(
+            [obs0.astype(jnp.float32),
+             jnp.zeros((B, N, A), jnp.float32)], -1
+        ).reshape(B * N, -1)
+        theta = lstate.params["agent"]
+
+        @jax.jit
+        def net_only(h0):
+            def step_fn(h, _):
+                q, h2 = agent_net.apply({"params": theta}, x0, h)
+                return h2, ()
+
+            hf, _ = jax.lax.scan(step_fn, h0, None, length=T)
+            return hf.sum()
+
+        h0 = jnp.zeros((B * N, args.rnn_hidden_dim), jnp.float32)
+        dt_net, _ = timed(net_only, h0, iters=5)
+        emit("rollout_net_only_ms", dt_net,
+             f"T={T} CRNN forwards; {dt_net/dt_roll:.0%} of full")
+        emit("rollout_glue_ms", max(0.0, dt_roll - dt_env - dt_net),
+             "derived residual: full - env - net")
 
     dt_store, _ = timed(store_nodonate, rb, res.episodes, iters=10)
     emit("replay_store_ms", dt_store, f"B={B} episodes")
@@ -150,4 +207,5 @@ if __name__ == "__main__":
                if a.startswith("--scan_unroll=")), 0)
     main(B=int(pos[0]) if pos else 1024,
          compute_dtype=pos[1] if len(pos) > 1 else "float32",
-         trace_dir=tr, scan_unroll=su)
+         trace_dir=tr, scan_unroll=su,
+         actor_split="--actor_split" in sys.argv[1:])
