@@ -42,8 +42,8 @@ def degre_dir(args) -> str:
     )
 
 
-def main():
-    args = get_evaluate_args()
+def main(argv=None):
+    args = get_evaluate_args(argv)
     args.b_degrade = True
     args.per_degrade = 1.0
     env = make_env(

@@ -91,8 +91,8 @@ def evaluate_rendered(trainer: Trainer, args) -> dict:
     }
 
 
-def main():
-    args = get_evaluate_args()
+def main(argv=None):
+    args = get_evaluate_args(argv)
     env = make_env_from_args(args)
     tag = None
     if args.load_model:

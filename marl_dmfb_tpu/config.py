@@ -201,7 +201,7 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
     p.add_argument("--evaluate_cycle", type=int, default=100000)
     p.add_argument("--online_eval", default=True, action="store_false")
     p.add_argument("--lr_decay", default=False, action="store_true",
-                   help="cosine lr decay to 5% over training (stabilizes "
+                   help="cosine lr decay to 5%% over training (stabilizes "
                         "large --n_parallel_envs runs)")
     p.add_argument("--remat", default=False, action="store_true",
                    help="rematerialize BPTT activations in the learn step "

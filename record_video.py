@@ -25,8 +25,8 @@ from marl_dmfb_tpu.trainer import model_state_path, restore_net_config
 from marl_dmfb_tpu import checkpoint as ckpt
 
 
-def main():
-    args = get_evaluate_args()
+def main(argv=None):
+    args = get_evaluate_args(argv)
     tag = (args.load_model_name or "final")
     if tag.startswith(f"{args.ith_run}_"):
         tag = tag[len(f"{args.ith_run}_"):]

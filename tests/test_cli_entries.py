@@ -5,6 +5,21 @@ printTrain.py (print saved curve npys) surfaces."""
 import os
 
 import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("entry", ["train", "evaluate", "eva_degrade",
+                                   "multi_train", "print_train",
+                                   "record_video"])
+def test_help_renders(entry, capsys):
+    """``--help`` must render on every entry point.  Regression: an
+    unescaped ``%`` inside an argparse help string (config.py --lr_decay)
+    made argparse's %-interpolation raise TypeError on format."""
+    mod = __import__(entry)
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--help"])
+    assert e.value.code == 0
+    assert "--help" in capsys.readouterr().out
 
 
 def _tiny_flags(tmp_path):
