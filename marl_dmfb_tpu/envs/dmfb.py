@@ -70,11 +70,31 @@ class DMFBParams:
         if self.fov % 2 != 1:
             raise ValueError("fov must be odd")
         if _spacing_p_valid(self.width, self.length, self.n_droplets) < 1e-6:
-            raise ValueError(
-                f"{self.n_droplets} droplets on a {self.width}x{self.length} "
-                "board: random task generation is statistically infeasible "
-                "(the reference's rejection loop would not terminate); use a "
-                "larger board"
+            # Near-cap configs are LEGAL in the reference (anything under its
+            # droplet cap, dmfb.py:144-146) even though its whole-set
+            # rejection loop (dmfb.py:220-226) would effectively never
+            # terminate — at the 10x10 cap of 13 droplets, 26 cells with
+            # pairwise sq-dist > 2 don't even exist (the spacing graph is the
+            # king graph; its max independent set on 10x10 is 25 cells).  A
+            # capability-parity framework must still construct and step such
+            # configs, so task generation routes to the densest-packing
+            # lattice fallback instead of sampling (see generate_start_end).
+            import warnings
+
+            warnings.warn(
+                f"{self.n_droplets} droplets on a {self.width}x"
+                f"{self.length} board: random task generation is "
+                "statistically infeasible; tasks use a randomized "
+                "densest-packing lattice instead of uniform sampling"
+                + (
+                    " (and the board cannot fit this many droplets at legal "
+                    "spacing at all — placements will violate the fluidic "
+                    "constraint from step 0)"
+                    if 2 * self.n_droplets
+                    > ((self.width + 1) // 2) * ((self.length + 1) // 2)
+                    else ""
+                ),
+                stacklevel=2,
             )
 
     @property
@@ -167,32 +187,61 @@ def _spacing_p_valid(width: int, length: int, n_droplets: int) -> float:
 
 
 def _gen_rounds(params: "DMFBParams") -> int:
-    """Candidate rounds sized so the deterministic fallback is ~e^-8
-    unlikely.  Crowded configs get more rounds; infeasible ones are rejected
-    at params construction (the reference's unbounded rejection loop,
-    dmfb.py:220-226, would simply never terminate there)."""
+    """Candidate rounds sized so the lattice fallback is ~e^-8 unlikely.
+    Crowded configs get more rounds; statistically infeasible ones
+    (p < 1e-6, where the reference's unbounded rejection loop,
+    dmfb.py:220-226, would effectively never terminate) keep sampling cheap
+    and rely on the randomized lattice fallback instead."""
     p = _spacing_p_valid(params.width, params.length, params.n_droplets)
+    if p < 1e-6:
+        return 32
     return min(4096, max(32, int(8.0 / max(p, 1e-9))))
 
 
-def _fallback_lattice(params: DMFBParams) -> jnp.ndarray:
-    """Deterministic valid placement, used only in the ~(p_invalid)^32 event
-    that every sampled round violates the spacing constraint — keeps the
-    generator total without a while_loop.  Spacing-2 grid: any two distinct
-    points differ by >= 2 on some axis, so pairwise sq dist >= 4 > 2.  (This
-    is also the densest valid packing — the constraint graph is the king
-    graph, whose max independent set is ceil(w/2)*ceil(l/2).)"""
+def _fallback_lattice(params: DMFBParams, key: jax.Array) -> jnp.ndarray:
+    """Randomized valid placement, used when every sampled round violates the
+    spacing constraint — keeps the generator total without a while_loop.
+    Spacing-2 grid: any two distinct points differ by >= 2 on some axis, so
+    pairwise sq dist >= 4 > 2.  (This is also the densest valid packing — the
+    constraint graph is the king graph, whose max independent set is
+    ceil(w/2)*ceil(l/2).)  Randomization: a uniform subset/permutation of the
+    lattice cells plus independent per-axis reflections (which preserve the
+    lattice property), so fallback tasks still vary across resets.
+
+    For configs past the packing capacity (legal under the reference's
+    droplet cap, dmfb.py:144-146, but with NO fully-valid placement — e.g. 13
+    droplets on 10x10 need 26 cells of a 25-cell max independent set) the
+    remaining points continue onto the odd-parity lattices: all cells stay
+    distinct, only the surplus points violate spacing."""
     import numpy as np
 
-    xs = np.arange(0, params.width, 2)
-    ys = np.arange(0, params.length, 2)
-    grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    def grid(x0, y0):
+        xs = np.arange(x0, params.width, 2)
+        ys = np.arange(y0, params.length, 2)
+        return np.stack(
+            np.meshgrid(xs, ys, indexing="ij"), -1
+        ).reshape(-1, 2)
+
     need = 2 * params.n_droplets
-    assert grid.shape[0] >= need, (
-        f"{params.n_droplets} droplets need {need} cells with spacing > sqrt2;"
-        f" a {params.width}x{params.length} board fits at most {grid.shape[0]}"
+    even = grid(0, 0)  # the valid core (densest legal packing)
+    if even.shape[0] < need:
+        # degenerate config: fill with the other parity classes (distinct
+        # cells, spacing violated only for the surplus)
+        pool = np.concatenate([even, grid(1, 1), grid(0, 1), grid(1, 0)])
+        pts = jnp.asarray(pool[:need], jnp.int32)
+        return jax.random.permutation(key, pts, axis=0)
+    k_sel, k_rx, k_ry = jax.random.split(key, 3)
+    cells = jnp.asarray(even, jnp.int32)
+    sel = jax.random.choice(
+        k_sel, cells.shape[0], (need,), replace=False
     )
-    return jnp.asarray(grid[:need], jnp.int32)
+    pts = cells[sel]
+    # per-axis reflection keeps spacing and reaches odd coordinates
+    hi = jnp.array([params.width - 1, params.length - 1], jnp.int32)
+    flip = jnp.stack([
+        jax.random.bernoulli(k_rx), jax.random.bernoulli(k_ry)
+    ])
+    return jnp.where(flip[None, :], hi[None, :] - pts, pts)
 
 
 def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
@@ -206,7 +255,7 @@ def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
     n2 = 2 * params.n_droplets
     rounds = _gen_rounds(params)
     big = jnp.int32(10 ** 9)
-    kx, ky = jax.random.split(key)
+    kx, ky, kf = jax.random.split(key, 3)
     x = jax.random.randint(kx, (rounds, n2), 0, params.width, jnp.int32)
     y = jax.random.randint(ky, (rounds, n2), 0, params.length, jnp.int32)
     cand = jnp.stack([x, y], axis=-1)                      # (R, 2N, 2)
@@ -215,7 +264,7 @@ def generate_start_end(params: DMFBParams, key: jax.Array) -> jax.Array:
     valid = jnp.min(sq, axis=(1, 2)) > 2                   # (R,)
     first = jnp.argmax(valid)
     pts = cand[first]
-    return jnp.where(jnp.any(valid), pts, _fallback_lattice(params))
+    return jnp.where(jnp.any(valid), pts, _fallback_lattice(params, kf))
 
 
 def generate_blocks(

@@ -1,0 +1,62 @@
+"""Round-3 regression tests: near-cap task generation, key-path checkpoint
+restore, QMIX x MEDA e2e, DMFB v0.1 e2e, compressed sharded-training check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_dmfb_tpu.envs import make_env
+from marl_dmfb_tpu.envs.dmfb import DMFBParams, generate_start_end
+
+
+class TestNearCapConfigs:
+    """Every config under the reference's droplet cap (w+1)(l+1)/9
+    (reference dmfb.py:144-146) must construct and step — including 13
+    droplets on 10x10, where NO placement with pairwise sq-dist > 2 even
+    exists (the spacing graph is the king graph; max independent set on
+    10x10 is 25 cells < 26 needed).  The reference's rejection loop
+    (dmfb.py:220-226) would spin forever there; we fall back to a
+    randomized densest-packing lattice."""
+
+    def test_cap_13d_10x10_constructs_and_steps(self):
+        with pytest.warns(UserWarning, match="lattice"):
+            env = make_env("dmfb", width=10, length=10, n_droplets=13, fov=9)
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        states = jax.vmap(env.init)(keys)  # jits the vmapped reset
+        pos = np.array(states.pos)
+        # all 26 start/goal points per env are distinct cells
+        for b in range(3):
+            pts = np.concatenate(
+                [np.array(states.start[b]), np.array(states.goal[b])]
+            )
+            assert len({tuple(p) for p in pts}) == 26
+        acts = jnp.zeros((3, 13), jnp.int32)
+        step = jax.jit(jax.vmap(env.step))
+        states2, out = step(states, acts)
+        assert np.array(out.rewards).shape == (3, 13)
+        assert np.isfinite(np.array(out.rewards)).all()
+
+    def test_near_cap_12d_keeps_spacing_valid(self):
+        """12 droplets on 10x10 (24 points <= 25-cell packing) must get a
+        placement with NO spacing violation from the lattice fallback."""
+        with pytest.warns(UserWarning):
+            params = DMFBParams(width=10, length=10, n_droplets=12, fov=9)
+        pts = np.array(generate_start_end(params, jax.random.PRNGKey(7)))
+        d = pts[:, None, :] - pts[None, :, :]
+        sq = (d * d).sum(-1) + np.eye(len(pts), dtype=int) * 10**9
+        assert sq.min() > 2
+
+    def test_fallback_varies_across_resets(self):
+        with pytest.warns(UserWarning):
+            params = DMFBParams(width=10, length=10, n_droplets=12, fov=9)
+        a = np.array(generate_start_end(params, jax.random.PRNGKey(0)))
+        b = np.array(generate_start_end(params, jax.random.PRNGKey(1)))
+        assert not np.array_equal(a, b)
+
+    def test_feasible_configs_do_not_warn(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            DMFBParams(width=10, length=10, n_droplets=5, fov=9)
