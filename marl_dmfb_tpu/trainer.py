@@ -64,6 +64,85 @@ def model_state_path(args: Args, tag) -> str:
     return os.path.join(model_dir, name)
 
 
+def restructure_by_path(template, data, path: str = "<checkpoint>"):
+    """Rebuild a restored checkpoint tree onto a live template by KEY PATH.
+
+    Orbax serializes NamedTuples (optax states) as dicts keyed by field
+    name and tuples as lists; each template leaf is looked up in ``data``
+    by its named path (``GetAttrKey`` -> field name, ``DictKey`` -> key,
+    ``SequenceKey`` -> index) and verified for shape and dtype kind.  A
+    missing/renamed field or a mismatched leaf raises ``ValueError`` naming
+    the exact path — the reference's pickle round-trip is trivially
+    name-exact (policy/vdn.py:41-53); ours must be no weaker, and adam's
+    ``mu``/``nu`` share shape and dtype so only name matching can catch a
+    layout change."""
+    from jax.tree_util import (DictKey, GetAttrKey, SequenceKey,
+                               tree_flatten_with_path)
+
+    paths_and_leaves, treedef = tree_flatten_with_path(template)
+
+    def key_name(k):
+        if isinstance(k, GetAttrKey):
+            return k.name
+        if isinstance(k, DictKey):
+            return k.key
+        if isinstance(k, SequenceKey):
+            return k.idx
+        raise ValueError(
+            f"checkpoint restore at {path}: unsupported tree node key {k!r}"
+        )
+
+    def fmt(kp):
+        return "/".join(str(key_name(k)) for k in kp) or "<root>"
+
+    leaves = []
+    for kp, t in paths_and_leaves:
+        node = data
+        for k in kp:
+            name = key_name(k)
+            try:
+                if isinstance(node, dict) and name not in node:
+                    node = node[str(name)]  # int keys may round-trip as str
+                else:
+                    node = node[name]
+            except (KeyError, IndexError, TypeError):
+                raise ValueError(
+                    f"checkpoint at {path} has no entry for '{fmt(kp)}' "
+                    f"(failed at '{name}') — the saved layout does not "
+                    "match this trainer's state structure"
+                ) from None
+        ts = tuple(getattr(t, "shape", ()))
+        ls = tuple(getattr(node, "shape", ()))
+        if ts != ls:
+            raise ValueError(
+                f"checkpoint leaf '{fmt(kp)}' shape mismatch at {path}: "
+                f"restored {ls} vs expected {ts}"
+            )
+        td = getattr(t, "dtype", np.float32)
+        ld = getattr(node, "dtype", np.float32)
+        if jnp.issubdtype(td, jnp.floating) != jnp.issubdtype(
+            ld, jnp.floating
+        ):
+            raise ValueError(
+                f"checkpoint leaf '{fmt(kp)}' dtype kind mismatch at "
+                f"{path}: restored {ld} vs expected {td}"
+            )
+        leaves.append(node)
+    # Strictness: the checkpoint may not contain leaves the template lacks
+    # either — e.g. an opt_state saved with --lr_decay (extra schedule
+    # counter) must not silently restore into a constant-lr trainer.
+    tmpl_paths = {fmt(kp) for kp, _ in paths_and_leaves}
+    data_paths = {fmt(kp) for kp, _ in tree_flatten_with_path(data)[0]}
+    if data_paths - tmpl_paths:
+        extra = sorted(data_paths - tmpl_paths)
+        raise ValueError(
+            f"checkpoint structure mismatch at {path}: saved tree has "
+            f"entries this trainer's state does not: {extra[:5]} — was it "
+            "trained with different flags?"
+        )
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def restore_net_config(args: Args, tag) -> Args:
     """Read the net hyperparameters out of a saved checkpoint so a model
     trained under any YAML evaluates correctly.  (The reference always
@@ -257,39 +336,15 @@ class Trainer:
         from marl_dmfb_tpu.algos.qlearn import LearnerState
 
         def restructure(template, data):
-            # Orbax restores NamedTuples (optax states) as plain dicts;
-            # rebuild onto the live structure.  Dict keys flatten in sorted
-            # order on both sides, and optax's state fields happen to be
-            # alphabetical, so leaf order is preserved — but that assumption
-            # is VERIFIED leaf-by-leaf (shape + dtype) so a checkpoint from a
-            # different optax/orbax layout fails loudly instead of silently
-            # permuting optimizer state.
-            treedef = jax.tree.structure(template)
-            t_leaves = jax.tree.leaves(template)
-            leaves = jax.tree.leaves(data)
-            if len(leaves) != len(t_leaves):
-                raise ValueError(
-                    f"checkpoint structure mismatch at {path}: "
-                    f"{len(leaves)} leaves vs {len(t_leaves)} expected"
-                )
-            for i, (t, l) in enumerate(zip(t_leaves, leaves)):
-                ts = tuple(getattr(t, "shape", ()))
-                ls = tuple(getattr(l, "shape", ()))
-                if ts != ls:
-                    raise ValueError(
-                        f"checkpoint leaf {i} shape mismatch at {path}: "
-                        f"restored {ls} vs expected {ts}"
-                    )
-                td = getattr(t, "dtype", np.float32)
-                ld = getattr(l, "dtype", np.float32)
-                if jnp.issubdtype(td, jnp.floating) != jnp.issubdtype(
-                    ld, jnp.floating
-                ):
-                    raise ValueError(
-                        f"checkpoint leaf {i} dtype kind mismatch at {path}: "
-                        f"restored {ld} vs expected {td}"
-                    )
-            return jax.tree.unflatten(treedef, leaves)
+            # Orbax restores NamedTuples (optax states) as NAME-KEYED dicts
+            # and tuples as lists; rebuild onto the live structure by KEY
+            # PATH, not leaf order — adam's mu/nu have identical shapes and
+            # dtypes, so an order-based zip would silently permute
+            # first/second moments if a future optax/orbax layout changed
+            # their flatten order.  Every leaf is looked up by its named
+            # path in the restored tree and verified (shape + dtype kind);
+            # a missing or renamed field fails loudly BY NAME.
+            return restructure_by_path(template, data, path)
 
         def restructure_params(template, data):
             # Network-params restore: the "agent" subtree must match
