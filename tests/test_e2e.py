@@ -46,6 +46,34 @@ class TestEndToEnd:
     def test_vdn_meda(self, tmp_path):
         run_short(tmp_path, "meda", "vdn")
 
+    def test_qmix_meda(self, tmp_path):
+        """QMIX x MEDA: the combination of the framework's two headline
+        fixes over the reference (QMIX runnable at all,
+        policy/qmix.py:88-90 dead state path; MEDA trainable at all,
+        env/MEDA/meda.py:679 scalar obs_shape) — a 2*W*L-dim mixer state
+        on the fine-grained array must train end-to-end."""
+        run_short(tmp_path, "meda", "qmix")
+
+    def test_vdn_dmfb_v01(self, tmp_path):
+        """DMFB obs v0.1 (--version=0.1, reference dmfb.py:723-835): the
+        4-layer float32 observation exercises the non-int8 replay dtype
+        path end-to-end (envs/dmfb.py obs_dtype -> replay o_ext storage)."""
+        args = Args(
+            name="dmfb", alg="vdn", drop_num=2, fov=5, version="0.1",
+            batch_size=8, buffer_size=32, n_parallel_envs=4,
+            evaluate_task=4, evaluate_cycle=400, n_steps=700,
+            anneal_steps=500, data_dir=str(tmp_path),
+        )
+        args.width = args.length = 5
+        env = make_env("dmfb", version="0.1", width=5, length=5,
+                       n_droplets=2, fov=5)
+        trainer = Trainer(env, args)
+        assert trainer.replay.data["o_ext"].dtype == np.float32
+        curves = trainer.run(online_evaluate=True)
+        assert len(curves["success_rate"]) >= 2
+        assert all(np.isfinite(v) for v in curves["rewards"])
+        trainer.load_model("final")
+
 
 class TestResume:
     def test_training_resumes_from_checkpoint(self, tmp_path):
