@@ -190,3 +190,50 @@ class TestMeshSharding:
         batch_sh = shard_batch(mesh, batch)
         _, loss_sh = learn(lstate_r, batch_sh)
         np.testing.assert_allclose(float(loss_plain), float(loss_sh), rtol=1e-5)
+
+
+class TestSustainedShardedTraining:
+    def test_sharded_training_trajectory_matches_unsharded(self, tmp_path):
+        """Compressed CI variant of the sharded-to-quality run (RESULTS.md
+        "Scaling"): TWO Trainers with identical seeds/args — one unsharded,
+        one on the 8-device mesh — run many full collect+learn cycles.
+        Errors that ACCUMULATE under sharding (replay cursor drift, epsilon
+        carry, EMA-under-replication, grad psum bias) would escape a
+        single-step loss check but diverge this trajectory."""
+        from marl_dmfb_tpu.trainer import Trainer
+
+        def build(mesh):
+            args = Args(name="dmfb", alg="vdn", drop_num=2, fov=5,
+                        batch_size=16, buffer_size=64, n_parallel_envs=16,
+                        evaluate_task=8, evaluate_cycle=400, n_steps=400,
+                        anneal_steps=2000, lr_decay=True, param_ema=0.99,
+                        data_dir=str(tmp_path))
+            args.width = args.length = 5
+            env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+            return Trainer(env, args, mesh=mesh)
+
+        plain, sharded = build(None), build(make_mesh())
+        losses_p, losses_s = [], []
+        for _ in range(12):
+            plain.train_cycle()
+            sharded.train_cycle()
+            losses_p.append(float(plain._last_loss))
+            losses_s.append(float(sharded._last_loss))
+        # same PRNG stream -> same episodes; psum'd grads must track the
+        # unsharded update closely enough that 12 cycles don't diverge
+        np.testing.assert_allclose(losses_p, losses_s, rtol=2e-2, atol=1e-3)
+        # epsilon schedule carried identically across rollouts
+        assert float(plain.epsilon) == pytest.approx(
+            float(sharded.epsilon), abs=1e-6)
+        # replay ring state advanced identically
+        assert int(plain.replay.size) == int(sharded.replay.size)
+        assert int(plain.replay.cursor) == int(sharded.replay.cursor)
+        # final params (and the EMA used for eval/save) still match
+        for a, b in zip(jax.tree.leaves(plain.learner_state.params),
+                        jax.tree.leaves(sharded.learner_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
+        for a, b in zip(jax.tree.leaves(plain.ema_params),
+                        jax.tree.leaves(sharded.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
