@@ -87,10 +87,20 @@ def _scan_unroll(args) -> int:
     at T=40 (2.48 vs 3.08 ms, batch 128) but only ~5% at T=80 while
     compile time keeps growing (partial unrolls that don't divide T, e.g.
     16 into 40, measured SLOWER than no unroll) — and leave longer scans
-    rolled.  An explicit value is used as-is."""
+    rolled.  An explicit value is used as-is.
+
+    Auto mode only unrolls on TPU: the XLA:CPU backend compiles a fully
+    unrolled T=40 BPTT body under 8-device SPMD partitioning for >1 hour
+    (measured round 3 — the virtual-mesh quality run sat in one LLVM
+    compile), and CPU runs are tests/virtual-mesh substitutes where
+    per-update speed doesn't matter."""
     su = getattr(args, "scan_unroll", 0)
     if su and su > 0:
         return su
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return 1
     T = getattr(args, "episode_limit", 0)
     return T if 0 < T <= 64 else 1
 

@@ -172,15 +172,22 @@ class TestLearner:
         _, loss4 = learn_u(lstate, batch)
         np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-6)
 
-    def test_scan_unroll_auto_selection(self):
-        # 0 (default) = full unroll for short horizons, rolled for long;
-        # an explicit value is used as-is
+    def test_scan_unroll_auto_selection(self, monkeypatch):
+        # 0 (default) = full unroll for short horizons, rolled for long —
+        # on TPU only (XLA:CPU compiles unrolled SPMD bodies for >1h);
+        # an explicit value is used as-is on any backend
+        import jax
+
+        from marl_dmfb_tpu.algos import qlearn
         from marl_dmfb_tpu.algos.qlearn import _scan_unroll
 
         class A:
             scan_unroll = 0
             episode_limit = 40
 
+        assert jax.default_backend() == "cpu"
+        assert _scan_unroll(A) == 1  # auto never unrolls on CPU
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         assert _scan_unroll(A) == 40
         A.episode_limit = 64
         assert _scan_unroll(A) == 64
@@ -188,6 +195,8 @@ class TestLearner:
         assert _scan_unroll(A) == 1
         A.scan_unroll = 8
         assert _scan_unroll(A) == 8
+        monkeypatch.undo()
+        assert _scan_unroll(A) == 8  # explicit value respected on CPU too
 
     def test_target_sync_cadence(self):
         args, env, init, learn, lstate, res = self._setup("vdn")
