@@ -36,10 +36,11 @@ def degre_dir(args) -> str:
     """Output directory for the sweep npys (reference evaDegre.py:47-49's
     ``<W>by<L>-<n>d<b>b`` label; non-square chips like MEDA 30x60 keep both
     dimensions)."""
-    return os.path.join(
-        args.data_dir, "DegreData",
-        f"{args.width}by{args.length}-{args.drop_num}d{args.block_num}b",
-    )
+    label = f"{args.width}by{args.length}-{args.drop_num}d{args.block_num}b"
+    if getattr(args, "noise_eps", 0.0):
+        # control sweeps must not overwrite the protocol-parity artifacts
+        label += f"-eps{args.noise_eps:g}"
+    return os.path.join(args.data_dir, "DegreData", label)
 
 
 def main(argv=None):
@@ -76,9 +77,19 @@ def main(argv=None):
     success = np.zeros((N_RUNS, epochs))
     health = np.zeros((N_RUNS, epochs, W, L))
 
+    usage = np.zeros((N_RUNS, epochs, W, L))
+    # --noise_eps > 0: a control sweep with a deliberately weakened policy
+    # (epsilon-greedy at a fixed rate) — more steps per episode means more
+    # electrode actuations, demonstrating the wear->failure feedback loop
+    # with a policy of reference-era efficiency (see RESULTS.md,
+    # "Degradation sweeps").
+    noise = jnp.float32(args.noise_eps)
+    greedy = args.noise_eps == 0.0
+
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(epochs):
         health[:, epoch] = np.array(states.health)
+        usage[:, epoch] = np.array(states.usage)
         ep_r = np.zeros(N_RUNS)
         ep_s = np.zeros(N_RUNS)
         ep_ok = np.zeros(N_RUNS)
@@ -86,8 +97,8 @@ def main(argv=None):
             key, sub = jax.random.split(key)
             res = trainer.rollout(
                 trainer.learner_state.params["agent"], states, sub,
-                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-                greedy=True,
+                noise, jnp.float32(0.0), noise,
+                greedy=greedy,
             )
             states = res.env_states
             ep_r += np.array(res.reward)
@@ -105,6 +116,7 @@ def main(argv=None):
     np.save(os.path.join(path, "steps.npy"), steps)
     np.save(os.path.join(path, "success.npy"), success)
     np.save(os.path.join(path, "health.npy"), health)
+    np.save(os.path.join(path, "usage.npy"), usage)
     print("saved to", path)
 
 

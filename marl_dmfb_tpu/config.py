@@ -60,6 +60,7 @@ class Args:
     b_degrade: bool = False
     per_degrade: float = 0.1
     evaluate_epoch: int = 20
+    noise_eps: float = 0.0        # eval-time epsilon noise (degrade controls)
 
     # --- YAML net hyperparameters ---
     rnn_hidden_dim: int = 128
@@ -254,6 +255,13 @@ def get_evaluate_args(argv=None) -> Args:
     p.add_argument("--b-degrade", dest="b_degrade", default=True)
     p.add_argument("--per-degrade", dest="per_degrade", type=float, default=0)
     p.add_argument("--evaluate_epoch", type=int, default=20)
+    p.add_argument("--noise_eps", type=float, default=0.0,
+                   help="epsilon-greedy noise during evaluation (0 = greedy "
+                        "parity with the reference). Used by eva_degrade.py "
+                        "control sweeps: a deliberately weakened policy "
+                        "takes more steps per episode, actuates electrodes "
+                        "more, and collapses under wear like the "
+                        "reference's committed DegreData baselines")
     p.set_defaults(load_model=True)
     ns = p.parse_args(argv)
     args = Args(**vars(ns))
