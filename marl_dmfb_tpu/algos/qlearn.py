@@ -105,8 +105,12 @@ def _scan_unroll(args) -> int:
     return T if 0 < T <= 64 else 1
 
 
-def make_learner(args, env):
-    """Build (init_fn, learn_fn) for args.alg in {vdn, qmix}."""
+def make_learner(args, env, mesh=None):
+    """Build (init_fn, learn_fn) for args.alg in {vdn, qmix}.
+
+    ``mesh``: when training data-parallel over a device mesh, the fused
+    ``learn_many`` constrains its sampled minibatches to batch-axis
+    sharding — see the note inside ``learn_many``."""
     net = build_agent_net(args)
     use_qmix = args.alg == "qmix"
     mixer = (
@@ -301,6 +305,23 @@ def make_learner(args, env):
             batch = logical_views(
                 {kk: v[idx] for kk, v in replay_data.items()}
             )
+            if mesh is not None:
+                # GSPMD resolves the random gather from the
+                # capacity-sharded replay by REPLICATING its output, and
+                # then partitions the whole update in the slow replicated
+                # regime (measured 23.0s vs 2.5s per update on the
+                # 8-virtual-device CPU mesh, identical math).  Pin the
+                # minibatch back to batch-axis sharding — same values,
+                # same indices, only the layout changes — so the update
+                # runs data-parallel with the usual grad psum.
+                from jax.sharding import NamedSharding, PartitionSpec
+                from marl_dmfb_tpu.parallel.mesh import BATCH_AXIS
+
+                spec = NamedSharding(mesh, PartitionSpec(BATCH_AXIS))
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, spec),
+                    batch,
+                )
             return _update(state, batch)
 
         keys = jax.random.split(key, n_updates)

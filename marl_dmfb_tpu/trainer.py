@@ -171,7 +171,7 @@ class Trainer:
 
         self.use_state = args.alg == "qmix"
         (self.init_learner, self.learn, self.net,
-         self.learn_many, self.loss_fn) = make_learner(args, env)
+         self.learn_many, self.loss_fn) = make_learner(args, env, mesh=mesh)
 
         key = jax.random.PRNGKey(args.seed)
         key, k_learn, k_envs, k_eval, self.key = jax.random.split(key, 5)
@@ -454,6 +454,11 @@ class Trainer:
         time_steps, evaluate_steps = 0, -1
         profiled = False
         start = time.time()
+        # Heartbeat for long CPU-mesh runs (cycles can take tens of seconds
+        # there): MARL_DMFB_PROGRESS=N prints a one-line progress mark every
+        # N cycles.  Off by default — the reference only prints per eval.
+        progress_every = int(os.environ.get("MARL_DMFB_PROGRESS", "0") or 0)
+        n_cycles = 0
         while time_steps < args.total_env_steps:
             if time_steps // args.evaluate_cycle > evaluate_steps:
                 evaluate_steps += 1
@@ -484,6 +489,11 @@ class Trainer:
                 profiled = True
             else:
                 time_steps += self.train_cycle()
+            n_cycles += 1
+            if progress_every and n_cycles % progress_every == 0:
+                print(f"  cycle {n_cycles}: time_steps {time_steps}, "
+                      f"epsilon {float(self.epsilon):.3f}, "
+                      f"elapsed {time.time() - start:.0f}s", flush=True)
         self.save_model("final")
         self.time_cost.append(time.time() - start)
         if online_evaluate:
