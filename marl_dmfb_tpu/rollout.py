@@ -53,6 +53,28 @@ def _tree_where(cond_b: jax.Array, a, b):
     return jax.tree.map(sel, a, b)
 
 
+def _net_chunks(rows: int) -> int:
+    """Chunk count for the per-step net forward at very large actor batches.
+
+    Measured on the v5e (RESULTS.md "Actor roofline"): the CRNN forward's
+    per-row cost jumps ~1.8x once the flattened row count exceeds 65536
+    (2^16) — at B*N = 131072 rows the T=40 forward scan costs 244 ms
+    monolithic vs 65 ms split into 4 x 32768-row applies (bitwise-identical
+    math; only the batch dim is split).  Chunk to <= 32768 rows using the
+    smallest chunk count that divides ``rows`` exactly; below the knee (or
+    off-TPU, where no such cliff exists) stay monolithic."""
+    if rows <= 32768:
+        return 1
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return 1
+    n = -(-rows // 32768)
+    while rows % n:
+        n += 1
+    return n if n < rows else 1
+
+
 def make_rollout(
     env: Env,
     net,
@@ -69,7 +91,19 @@ def make_rollout(
         x = jnp.concatenate(
             [obs.astype(jnp.float32), last_oh], axis=-1
         ).reshape(B * N, -1)
-        q, h2 = net.apply({"params": theta}, x, h.reshape(B * N, rnn_hidden))
+        hh = h.reshape(B * N, rnn_hidden)
+        n_chunks = _net_chunks(B * N)
+        if n_chunks > 1:
+            c = B * N // n_chunks
+            outs = [
+                net.apply({"params": theta}, x[i * c:(i + 1) * c],
+                          hh[i * c:(i + 1) * c])
+                for i in range(n_chunks)
+            ]
+            q = jnp.concatenate([o[0] for o in outs])
+            h2 = jnp.concatenate([o[1] for o in outs])
+        else:
+            q, h2 = net.apply({"params": theta}, x, hh)
         return q.reshape(B, N, A), h2.reshape(B, N, rnn_hidden)
 
     @functools.partial(jax.jit, static_argnames=("greedy",))

@@ -103,3 +103,53 @@ class TestKeyPathRestore:
         bad = {"agent": {"w": np.ones((3, 3)), "b": np.zeros(3)}}
         with pytest.raises(ValueError, match="agent/w"):
             restructure_by_path(params, bad)
+
+
+class TestChunkedNetForward:
+    """The large-batch actor chunks its per-step net forward into
+    <=32768-row applies (rollout._net_chunks — the v5e's per-row cost
+    doubles past 65536 rows).  Chunking splits only the batch dim, so the
+    rollout must be EXACTLY equal to the monolithic path."""
+
+    def test_chunk_count_policy(self, monkeypatch):
+        import marl_dmfb_tpu.rollout as ro
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert ro._net_chunks(32768) == 1            # at/below the knee
+        assert ro._net_chunks(65536) == 2
+        assert ro._net_chunks(131072) == 4           # 4 x 32768
+        assert ro._net_chunks(81920) == 4            # smallest exact divisor >= ceil(rows/32768)
+        # off-TPU there is no cliff: never chunk
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert ro._net_chunks(131072) == 1
+
+    def test_chunked_rollout_equals_monolithic(self, monkeypatch):
+        import marl_dmfb_tpu.rollout as ro
+        from marl_dmfb_tpu.algos.qlearn import make_learner
+        from marl_dmfb_tpu.config import Args
+
+        args = Args(name="dmfb", drop_num=2, fov=5, width=5, length=5,
+                    n_parallel_envs=8)
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        args.update_env_info(env.env_info())
+        init, _, net, _, _ = make_learner(args, env)
+        theta = init(jax.random.PRNGKey(0)).params["agent"]
+        states = jax.vmap(env.init)(
+            jax.random.split(jax.random.PRNGKey(1), 8)
+        )
+
+        def run():
+            rollout = ro.make_rollout(env, net, args.rnn_hidden_dim)
+            return rollout(theta, states, jax.random.PRNGKey(2),
+                           jnp.float32(0.5), jnp.float32(0.0),
+                           jnp.float32(0.05), greedy=False)
+
+        res_mono = run()
+        monkeypatch.setattr(ro, "_net_chunks", lambda rows: 4)
+        res_chunk = run()
+        np.testing.assert_array_equal(np.asarray(res_mono.episodes["u"]),
+                                      np.asarray(res_chunk.episodes["u"]))
+        np.testing.assert_allclose(np.asarray(res_mono.reward),
+                                   np.asarray(res_chunk.reward), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(res_mono.success),
+                                      np.asarray(res_chunk.success))
