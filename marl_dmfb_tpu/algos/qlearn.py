@@ -112,6 +112,12 @@ def make_learner(args, env, mesh=None):
     ``learn_many`` constrains its sampled minibatches to batch-axis
     sharding — see the note inside ``learn_many``."""
     net = build_agent_net(args)
+    if (mesh is not None and getattr(args, "local_sampling", False)
+            and args.batch_size % int(mesh.devices.size)):
+        raise ValueError(
+            f"--local_sampling: batch_size ({args.batch_size}) must tile "
+            f"the {int(mesh.devices.size)}-device mesh"
+        )
     use_qmix = args.alg == "qmix"
     mixer = (
         QMixer(
@@ -297,11 +303,46 @@ def make_learner(args, env, mesh=None):
         sequential `learn` calls on a tunneled device)."""
 
         def body(state, k):
+            from marl_dmfb_tpu.replay import logical_views
+
+            if mesh is not None and getattr(args, "local_sampling", False):
+                # Fully device-local sampling (pairs with
+                # replay.make_local_store): each device draws its
+                # batch/n_dev share from ITS OWN shard's valid rows — no
+                # cross-device episode gather at all (on real pods the
+                # global gather moves the whole minibatch over ICI every
+                # update).  Stratified-uniform across devices instead of
+                # global-uniform: same marginal episode distribution when
+                # shards fill at the same rate (which local_store
+                # guarantees).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec
+
+                from marl_dmfb_tpu.parallel.mesh import BATCH_AXIS
+
+                n_dev = int(mesh.devices.size)
+
+                def sample_shard(data_shard, size, kk):
+                    d = jax.lax.axis_index(BATCH_AXIS)
+                    cap_l = data_shard["u"].shape[0]
+                    local_size = jnp.clip(size // n_dev, 1, cap_l)
+                    idx = jax.random.randint(
+                        jax.random.fold_in(kk, d),
+                        (args.batch_size // n_dev,), 0, local_size,
+                    )
+                    return {kk2: v[idx] for kk2, v in data_shard.items()}
+
+                raw = shard_map(
+                    sample_shard, mesh=mesh,
+                    in_specs=(PartitionSpec(BATCH_AXIS), PartitionSpec(),
+                              PartitionSpec()),
+                    out_specs=PartitionSpec(BATCH_AXIS),
+                )(replay_data, replay_size, k)
+                return _update(state, logical_views(raw))
+
             idx = jax.random.randint(
                 k, (args.batch_size,), 0, jnp.maximum(replay_size, 1)
             )
-            from marl_dmfb_tpu.replay import logical_views
-
             batch = logical_views(
                 {kk: v[idx] for kk, v in replay_data.items()}
             )

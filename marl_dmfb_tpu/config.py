@@ -94,6 +94,7 @@ class Args:
     mesh: str = "auto"            # device mesh: auto | off | <n_devices>
     compute_dtype: str = "float32"  # float32 (parity) | bf16 (MXU-native)
     lr_decay: bool = False        # cosine lr decay (stabilizes large-B)
+    local_sampling: bool = False  # per-device replay sampling (no gather)
     remat: bool = False           # rematerialize BPTT activations (HBM)
     fused_streams: bool = False   # eval+target GRU streams in one scan
     scan_unroll: int = 0          # BPTT scan unroll; 0 = auto (full if T<=64)
@@ -204,6 +205,12 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
     p.add_argument("--lr_decay", default=False, action="store_true",
                    help="cosine lr decay to 5%% over training (stabilizes "
                         "large --n_parallel_envs runs)")
+    p.add_argument("--local_sampling", default=False, action="store_true",
+                   help="with --mesh: each device samples its learn "
+                        "minibatch share from ITS OWN replay shard (no "
+                        "cross-device episode gather per update — saves "
+                        "ICI bandwidth on real pods); stratified-uniform "
+                        "instead of global-uniform sampling")
     p.add_argument("--remat", default=False, action="store_true",
                    help="rematerialize BPTT activations in the learn step "
                         "(fits large MEDA configs in HBM at ~1.3x FLOPs)")

@@ -134,6 +134,56 @@ def store(replay: ReplayState, episodes: dict) -> ReplayState:
     return _store_impl(replay, episodes)
 
 
+def make_local_store(mesh):
+    """Fully device-local ring write for mesh training (``--local_sampling``).
+
+    The default ``store`` scatters episodes to whichever device owns the
+    global ring rows ``cursor..cursor+B`` — episodes collected on device d
+    generally land on OTHER devices (cross-device traffic every cycle, and
+    the ring fills device 0's shard first, so early shards are empty on
+    most devices).  Here the capacity-sharded buffer is treated as
+    ``n_dev`` INDEPENDENT local rings: each device ring-writes its own
+    rollout shard (B/n episodes) at the shared local cursor — zero
+    cross-device traffic, and every shard fills at the same rate, which is
+    what makes per-device sampling (qlearn.learn_many local path) valid.
+    Global ``cursor``/``size`` counters advance exactly like ``store``
+    (B and capacity must both tile the mesh — Trainer rounds them)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from marl_dmfb_tpu.parallel.mesh import BATCH_AXIS
+
+    n = int(mesh.devices.size)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def store_local(replay: ReplayState, episodes: dict) -> ReplayState:
+        eps = _flatten_episodes(episodes)
+        B = eps["u"].shape[0]
+        capacity = replay.data["u"].shape[0]
+
+        def write(data_shard, eps_shard, cursor):
+            cap_l = data_shard["u"].shape[0]
+            b_l = eps_shard["u"].shape[0]
+            idx = (cursor // n + jnp.arange(b_l)) % cap_l
+            return {
+                k: v.at[idx].set(eps_shard[k].astype(v.dtype))
+                for k, v in data_shard.items()
+            }
+
+        data = shard_map(
+            write, mesh=mesh,
+            in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()),
+            out_specs=P(BATCH_AXIS),
+        )(replay.data, eps, replay.cursor)
+        return ReplayState(
+            data=data,
+            cursor=(replay.cursor + B) % capacity,
+            size=jnp.minimum(replay.size + B, capacity),
+        )
+
+    return store_local
+
+
 def sample(replay: ReplayState, key: jax.Array, batch_size: int) -> dict:
     """Uniform minibatch of episodes (replay_buffer.py:51-56).  Like the
     reference (np.random.randint over current_size), sampling is with

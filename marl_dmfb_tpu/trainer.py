@@ -235,6 +235,15 @@ class Trainer:
                 from marl_dmfb_tpu.parallel.mesh import shard_batch
 
                 self.replay = shard_batch(mesh, self.replay)
+        # --local_sampling: each device ring-writes its own rollout shard
+        # and samples its minibatch share locally — zero cross-device
+        # replay traffic per cycle (replay.make_local_store +
+        # qlearn.learn_many's shard_map sampling path)
+        self._store = (
+            replay_lib.make_local_store(mesh)
+            if (mesh is not None and args.local_sampling and not eval_only)
+            else replay_lib.store
+        )
 
         self.epsilon = jnp.float32(args.epsilon)
         if args.epsilon_anneal_scale == "step":
@@ -432,7 +441,7 @@ class Trainer:
             )
         else:
             self.epsilon = result.epsilon
-        self.replay = replay_lib.store(self.replay, result.episodes)
+        self.replay = self._store(self.replay, result.episodes)
         self.learner_state, self._last_loss = self.learn_many(
             self.learner_state, self.replay.data, self.replay.size,
             self._next_key(), self.updates_per_rollout,

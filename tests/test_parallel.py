@@ -237,3 +237,99 @@ class TestSustainedShardedTraining:
                         jax.tree.leaves(sharded.ema_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-4)
+
+
+class TestLocalSampling:
+    """--local_sampling: device-local ring writes + per-device minibatch
+    sampling (replay.make_local_store / qlearn.learn_many shard_map path)
+    — zero cross-device replay traffic per cycle."""
+
+    def test_local_store_keeps_episodes_on_their_device(self):
+        mesh = make_mesh()
+        n = mesh.devices.size
+        cap, B, T, N, obs = 32, 16, 4, 2, 6
+        rb = shard_batch(mesh, replay_lib.init_replay(
+            capacity=cap, episode_limit=T, n_agents=N, obs_dim=obs,
+            n_actions=5,
+        ))
+        # distinctive per-episode actions: episode e has u == e everywhere
+        eps = {
+            "o_ext": jnp.ones((B, T + 1, N, obs), jnp.int8),
+            "u": jnp.tile(jnp.arange(B, dtype=jnp.int8)[:, None, None, None],
+                          (1, T, N, 1)),
+            "r": jnp.zeros((B, T, 1), jnp.float32),
+            "padded": jnp.zeros((B, T, 1), bool),
+            "terminated": jnp.zeros((B, T, 1), bool),
+        }
+        eps = shard_batch(mesh, eps)
+        store_local = replay_lib.make_local_store(mesh)
+        rb = store_local(rb, eps)
+        assert int(rb.size) == B and int(rb.cursor) == B
+        # device d collected episodes [d*B/n, (d+1)*B/n); they must live in
+        # device d's capacity shard (rows [d*cap/n, ...))
+        u = np.asarray(rb.data["u"])  # (cap, T, N) merged layout
+        cap_l, b_l = cap // n, B // n
+        for d in range(n):
+            got = sorted(set(u[d * cap_l:d * cap_l + b_l].flatten().tolist()))
+            want = list(range(d * b_l, (d + 1) * b_l))
+            assert got == want, (d, got, want)
+            # the rest of the shard is still empty
+            assert not u[d * cap_l + b_l:(d + 1) * cap_l].any()
+
+    def test_local_sampling_draws_only_valid_episodes(self):
+        """After ONE store (buffer 1/2 full), every sampled episode must be
+        one that was actually stored — the global-contiguous ring would
+        leave most shards empty and local sampling would read zeros."""
+        mesh = make_mesh()
+        args = Args(name="dmfb", drop_num=2, fov=5, width=5, length=5,
+                    batch_size=16, buffer_size=32, n_parallel_envs=16,
+                    local_sampling=True)
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        args.update_env_info(env.env_info())
+        init, learn, net, learn_many, _ = make_learner(args, env, mesh=mesh)
+        lstate = replicate(mesh, init(jax.random.PRNGKey(0)))
+        rollout = make_rollout(env, net, args.rnn_hidden_dim)
+        states = shard_batch(mesh, jax.vmap(env.init)(
+            jax.random.split(jax.random.PRNGKey(1), 16)
+        ))
+        res = rollout(lstate.params["agent"], states, jax.random.PRNGKey(2),
+                      jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
+                      greedy=False)
+        rb = shard_batch(mesh, replay_lib.init_replay(
+            capacity=args.buffer_size, episode_limit=args.episode_limit,
+            n_agents=2, obs_dim=args.obs_shape[-1], n_actions=args.n_actions,
+        ))
+        rb = replay_lib.make_local_store(mesh)(rb, res.episodes)
+        lstate2, loss = learn_many(lstate, rb.data, rb.size,
+                                   jax.random.PRNGKey(3), 3)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree.leaves(lstate2.params):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_trainer_local_sampling_end_to_end(self, tmp_path):
+        from marl_dmfb_tpu.trainer import Trainer
+
+        args = Args(name="dmfb", alg="vdn", drop_num=2, fov=5,
+                    batch_size=16, buffer_size=64, n_parallel_envs=16,
+                    evaluate_task=8, evaluate_cycle=400, n_steps=400,
+                    anneal_steps=2000, local_sampling=True,
+                    data_dir=str(tmp_path))
+        args.width = args.length = 5
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        tr = Trainer(env, args, mesh=make_mesh())
+        losses = []
+        for _ in range(4):
+            tr.train_cycle()
+            losses.append(float(tr._last_loss))
+        assert all(np.isfinite(l) for l in losses)
+        assert int(tr.replay.size) == 64  # 4 x 16, ring full
+        m = tr.evaluate()
+        assert 0.0 <= m["success_rate"] <= 1.0
+
+    def test_local_sampling_requires_tiling_batch(self):
+        args = Args(name="dmfb", drop_num=2, fov=5, width=5, length=5,
+                    batch_size=12, local_sampling=True)
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        args.update_env_info(env.env_info())
+        with pytest.raises(ValueError, match="local_sampling"):
+            make_learner(args, env, mesh=make_mesh())
