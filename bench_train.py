@@ -121,29 +121,36 @@ def main(B=1024, iters=3, compute_dtype="float32"):
                       "value": round(sps), "unit": "env-steps/s",
                       "vs_baseline": round(sps / 1e6, 4)}))
 
-    # combined headline: throughput at the reference replay ratio +
-    # ms/update + the measured time-to-quality of the flagship recipe
-    # (artifacts/time_to_quality.json — a 2M-step training run evaluated
-    # per 50k-step checkpoint on the 50x50 zero-shot board; re-measure by
-    # re-running that recipe, not per-bench).
-    ttq = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "artifacts", "time_to_quality.json")) as f:
-            ttq = json.load(f)["first_crossing"]
-    except (OSError, KeyError, ValueError):
-        pass
+    # headline: throughput at the reference replay ratio + ms/update —
+    # everything in this line is measured by THIS run
     print(json.dumps({
         "metric": "train_e2e",
         "value": round(sps),
         "unit": (f"env-steps/s at the reference replay ratio ({updates} "
                  f"updates per {B}-episode rollout); learn "
-                 f"{dt_learn * 1000:.2f} ms/update"
-                 + (f"; flagship 20x20 recipe reaches >=0.96 on 50x50 "
-                    f"zero-shot in {ttq['wall_s']}s wall-clock "
-                    f"({ttq['env_steps']} env steps)" if ttq else "")),
+                 f"{dt_learn * 1000:.2f} ms/update"),
         "vs_baseline": round(sps / 1e6, 4),
     }))
+
+    # recorded time-to-quality (separate line, NOT measured by this run:
+    # sourced from the committed artifact of a full 2M-step training of the
+    # flagship recipe evaluated per 50k-step checkpoint on the 50x50
+    # zero-shot board; re-measure by re-running that recipe)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts", "time_to_quality.json")) as f:
+            ttq = json.load(f)["first_crossing"]
+        print(json.dumps({
+            "metric": "time_to_quality_recorded",
+            "value": ttq["wall_s"],
+            "unit": (f"s wall-clock to >=0.96 on 50x50 zero-shot "
+                     f"({ttq['env_steps']} env steps, flagship 20x20 "
+                     f"recipe)"),
+            "source": "artifacts/time_to_quality.json",
+            "vs_baseline": None,
+        }))
+    except (OSError, KeyError, ValueError):
+        pass
 
 
 if __name__ == "__main__":

@@ -295,49 +295,37 @@ def make_learner(args, env, mesh=None):
 
     learn = jax.jit(_update)
 
+    if mesh is not None and getattr(args, "local_sampling", False):
+        from marl_dmfb_tpu.replay import make_local_sample
+
+        local_sample = make_local_sample(mesh, args.batch_size)
+    else:
+        local_sample = None
+
     @functools.partial(jax.jit, static_argnames=("n_updates",))
     def learn_many(state: LearnerState, replay_data: dict, replay_size,
                    key, n_updates: int):
         """K sample+update steps fused in one XLA program (one dispatch
         instead of K host round-trips; per-call latency dominates K
-        sequential `learn` calls on a tunneled device)."""
+        sequential `learn` calls on a tunneled device).
+
+        With ``--local_sampling`` the minibatches are drawn per device via
+        ``replay.make_local_sample`` — ONLY valid when ``replay_data`` was
+        filled by ``replay.make_local_store`` (equal per-shard fill; the
+        default global ``store`` fills device 0's shard first, and per-
+        device sampling against it would silently train on never-written
+        zero episodes from most shards — see the pairing invariant in
+        replay.py).  Trainer pairs the two via the single flag; direct API
+        callers must do the same."""
 
         def body(state, k):
             from marl_dmfb_tpu.replay import logical_views
 
-            if mesh is not None and getattr(args, "local_sampling", False):
-                # Fully device-local sampling (pairs with
-                # replay.make_local_store): each device draws its
-                # batch/n_dev share from ITS OWN shard's valid rows — no
-                # cross-device episode gather at all (on real pods the
-                # global gather moves the whole minibatch over ICI every
-                # update).  Stratified-uniform across devices instead of
-                # global-uniform: same marginal episode distribution when
-                # shards fill at the same rate (which local_store
-                # guarantees).
-                from jax import shard_map
-                from jax.sharding import PartitionSpec
-
-                from marl_dmfb_tpu.parallel.mesh import BATCH_AXIS
-
-                n_dev = int(mesh.devices.size)
-
-                def sample_shard(data_shard, size, kk):
-                    d = jax.lax.axis_index(BATCH_AXIS)
-                    cap_l = data_shard["u"].shape[0]
-                    local_size = jnp.clip(size // n_dev, 1, cap_l)
-                    idx = jax.random.randint(
-                        jax.random.fold_in(kk, d),
-                        (args.batch_size // n_dev,), 0, local_size,
-                    )
-                    return {kk2: v[idx] for kk2, v in data_shard.items()}
-
-                raw = shard_map(
-                    sample_shard, mesh=mesh,
-                    in_specs=(PartitionSpec(BATCH_AXIS), PartitionSpec(),
-                              PartitionSpec()),
-                    out_specs=PartitionSpec(BATCH_AXIS),
-                )(replay_data, replay_size, k)
+            if local_sample is not None:
+                # Fully device-local sampling: zero cross-device replay
+                # traffic per update (the global path all-gathers the
+                # whole minibatch over ICI every update).
+                raw = local_sample(replay_data, replay_size, k)
                 return _update(state, logical_views(raw))
 
             idx = jax.random.randint(

@@ -147,7 +147,16 @@ def make_local_store(mesh):
     cross-device traffic, and every shard fills at the same rate, which is
     what makes per-device sampling (qlearn.learn_many local path) valid.
     Global ``cursor``/``size`` counters advance exactly like ``store``
-    (B and capacity must both tile the mesh — Trainer rounds them)."""
+    (B and capacity must both tile the mesh — Trainer rounds them).
+
+    PAIRING INVARIANT: a buffer written with ``store_local`` must be
+    sampled with ``make_local_sample`` (and vice versa).  The default
+    global ``store`` fills the ring contiguously from row 0 — i.e. device
+    0's shard first — so per-device sampling against it would read
+    never-written zero rows on most shards; conversely ``store_local``
+    leaves the tail of every shard empty until each LOCAL ring fills, so
+    global uniform sampling over ``size`` rows would hit unwritten rows.
+    ``Trainer`` pairs them via the single ``--local_sampling`` flag."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -182,6 +191,53 @@ def make_local_store(mesh):
         )
 
     return store_local
+
+
+def make_local_sample(mesh, batch_size: int):
+    """Per-device minibatch sampling for ``--local_sampling``.
+
+    Each device draws its ``batch_size / n_dev`` share from ITS OWN
+    capacity shard's valid rows — no cross-device episode gather at all
+    (the global path all-gathers the whole minibatch over ICI every
+    update).  Stratified-uniform across devices instead of global-uniform:
+    the same marginal episode distribution when shards fill at the same
+    rate, which ``make_local_store`` guarantees.
+
+    PAIRING INVARIANT (see ``make_local_store``): only valid on a buffer
+    written by ``make_local_store``.  Against the default global ``store``
+    — which fills device 0's shard first — most shards' "valid" rows would
+    be never-written zeros and the learner would silently train on empty
+    episodes.
+
+    Returns ``sample_local(replay_data, replay_size, key) -> dict`` in the
+    merged storage layout, batch-axis sharded (run ``logical_views`` on it
+    for the learner)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from marl_dmfb_tpu.parallel.mesh import BATCH_AXIS
+
+    n = int(mesh.devices.size)
+    if batch_size % n:
+        raise ValueError(
+            f"local sampling: batch_size ({batch_size}) must tile the "
+            f"{n}-device mesh"
+        )
+
+    def sample_shard(data_shard, size, key):
+        d = jax.lax.axis_index(BATCH_AXIS)
+        cap_l = data_shard["u"].shape[0]
+        local_size = jnp.clip(size // n, 1, cap_l)
+        idx = jax.random.randint(
+            jax.random.fold_in(key, d), (batch_size // n,), 0, local_size
+        )
+        return {k: v[idx] for k, v in data_shard.items()}
+
+    return shard_map(
+        sample_shard, mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(), P()),
+        out_specs=P(BATCH_AXIS),
+    )
 
 
 def sample(replay: ReplayState, key: jax.Array, batch_size: int) -> dict:

@@ -53,6 +53,10 @@ def _tree_where(cond_b: jax.Array, a, b):
     return jax.tree.map(sel, a, b)
 
 
+_CHUNK_ROWS = 32768   # the v5e knee sits at 65536 rows; target half of it
+_MAX_CHUNKS = 16      # hard cap: chunks are unrolled into the traced scan body
+
+
 def _net_chunks(rows: int) -> int:
     """Chunk count for the per-step net forward at very large actor batches.
 
@@ -60,19 +64,29 @@ def _net_chunks(rows: int) -> int:
     per-row cost jumps ~1.8x once the flattened row count exceeds 65536
     (2^16) — at B*N = 131072 rows the T=40 forward scan costs 244 ms
     monolithic vs 65 ms split into 4 x 32768-row applies (bitwise-identical
-    math; only the batch dim is split).  Chunk to <= 32768 rows using the
-    smallest chunk count that divides ``rows`` exactly; below the knee (or
-    off-TPU, where no such cliff exists) stay monolithic."""
-    if rows <= 32768:
+    math; only the batch dim is split).  Below the knee (or off-TPU, where
+    no such cliff exists) stay monolithic.
+
+    The count is capped at ``_MAX_CHUNKS``: each chunk is a separate
+    ``net.apply`` unrolled into the traced program, so an adversarial row
+    count must never explode the chunk count (a semiprime like
+    2*65537 = 131074 would otherwise select 65537 two-row applies — a
+    compile-time bomb).  An exact divisor near ceil(rows/32768) is
+    preferred (no padding, bitwise-identical to monolithic); otherwise the
+    forward pads the batch dim up to ``chunks * ceil(rows/chunks)`` rows
+    and trims after — chunks then sit slightly above 32768 rows, still far
+    below the 65536 cliff for any realistic batch."""
+    if rows <= _CHUNK_ROWS:
         return 1
     import jax
 
     if jax.default_backend() != "tpu":
         return 1
-    n = -(-rows // 32768)
-    while rows % n:
-        n += 1
-    return n if n < rows else 1
+    n = -(-rows // _CHUNK_ROWS)
+    for cand in range(n, min(_MAX_CHUNKS, n + 4) + 1):
+        if rows % cand == 0:
+            return cand
+    return min(n, _MAX_CHUNKS)
 
 
 def make_rollout(
@@ -81,27 +95,44 @@ def make_rollout(
     rnn_hidden: int,
     with_state: bool = False,
     reset_new: bool = False,
+    mesh_sharded: bool = False,
 ):
     """Build ``rollout(theta, env_states, key, epsilon, anneal, min_eps,
-    greedy)`` — a pure function suitable for ``jax.jit`` (greedy is static)."""
+    greedy)`` — a pure function suitable for ``jax.jit`` (greedy is static).
+
+    ``mesh_sharded``: set when the rollout batch is sharded over a device
+    mesh.  The large-batch net-forward chunking is then disabled: chunk
+    boundaries are static batch-axis slices that need not align with shard
+    boundaries (GSPMD would insert resharding inside the hot per-step
+    forward), and the 2^16-row cliff is per DEVICE — per-device rows are
+    B*N/n_dev, below the knee for any realistic sharded config."""
     N, A, T = env.n_agents, env.n_actions, env.episode_limit
 
     def net_forward(theta, obs, last_oh, h):
         B = obs.shape[0]
+        rows = B * N
         x = jnp.concatenate(
             [obs.astype(jnp.float32), last_oh], axis=-1
-        ).reshape(B * N, -1)
-        hh = h.reshape(B * N, rnn_hidden)
-        n_chunks = _net_chunks(B * N)
+        ).reshape(rows, -1)
+        hh = h.reshape(rows, rnn_hidden)
+        n_chunks = 1 if mesh_sharded else _net_chunks(rows)
         if n_chunks > 1:
-            c = B * N // n_chunks
+            c = -(-rows // n_chunks)
+            pad = n_chunks * c - rows
+            if pad:  # non-dividing chunk count: pad batch dim, trim after
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, x.shape[1]), x.dtype)]
+                )
+                hh = jnp.concatenate(
+                    [hh, jnp.zeros((pad, rnn_hidden), hh.dtype)]
+                )
             outs = [
                 net.apply({"params": theta}, x[i * c:(i + 1) * c],
                           hh[i * c:(i + 1) * c])
                 for i in range(n_chunks)
             ]
-            q = jnp.concatenate([o[0] for o in outs])
-            h2 = jnp.concatenate([o[1] for o in outs])
+            q = jnp.concatenate([o[0] for o in outs])[:rows]
+            h2 = jnp.concatenate([o[1] for o in outs])[:rows]
         else:
             q, h2 = net.apply({"params": theta}, x, hh)
         return q.reshape(B, N, A), h2.reshape(B, N, rnn_hidden)

@@ -203,7 +203,8 @@ class Trainer:
             self.learner_state = replicate(mesh, self.learner_state)
 
         self.rollout = make_rollout(
-            env, self.net, args.rnn_hidden_dim, with_state=self.use_state
+            env, self.net, args.rnn_hidden_dim, with_state=self.use_state,
+            mesh_sharded=mesh is not None,
         )
 
         obs_dtype = env.params.obs_dtype

@@ -279,8 +279,52 @@ class TestLocalSampling:
     def test_local_sampling_draws_only_valid_episodes(self):
         """After ONE store (buffer 1/2 full), every sampled episode must be
         one that was actually stored — the global-contiguous ring would
-        leave most shards empty and local sampling would read zeros."""
+        leave most shards empty and local sampling would read zeros.
+
+        Sentinel check (not just a finite loss, which all-zero rows would
+        also produce): episodes are stored with a distinctive o_ext fill
+        per episode id and the SAME ``make_local_sample`` the learn path
+        uses must return only those sentinels, each from the sampling
+        device's own shard."""
         mesh = make_mesh()
+        n = mesh.devices.size
+        cap, B, T, N, obs = 32, 16, 4, 2, 6
+        batch_size = 16
+        rb = shard_batch(mesh, replay_lib.init_replay(
+            capacity=cap, episode_limit=T, n_agents=N, obs_dim=obs,
+            n_actions=5,
+        ))
+        # sentinel: episode e has o_ext == e+1 everywhere (nonzero!), and
+        # u == e so the episode id is readable from both tensors
+        eps = {
+            "o_ext": jnp.tile(
+                (jnp.arange(B, dtype=jnp.int8) + 1)[:, None, None, None],
+                (1, T + 1, N, obs)),
+            "u": jnp.tile(jnp.arange(B, dtype=jnp.int8)[:, None, None, None],
+                          (1, T, N, 1)),
+            "r": jnp.zeros((B, T, 1), jnp.float32),
+            "padded": jnp.zeros((B, T, 1), bool),
+            "terminated": jnp.zeros((B, T, 1), bool),
+        }
+        eps = shard_batch(mesh, eps)
+        rb = replay_lib.make_local_store(mesh)(rb, eps)
+
+        batch = replay_lib.make_local_sample(mesh, batch_size)(
+            rb.data, rb.size, jax.random.PRNGKey(3)
+        )
+        o = np.asarray(batch["o_ext"])      # (batch, T+1, N*obs) merged
+        u = np.asarray(batch["u"])          # (batch, T, N)
+        b_l, ep_l = batch_size // n, B // n
+        for i in range(batch_size):
+            d = i // b_l                    # device that sampled row i
+            ep = int(u[i, 0, 0])
+            # every sampled episode is a STORED one (sentinels, no zeros),
+            # and it came from the sampling device's own shard
+            assert d * ep_l <= ep < (d + 1) * ep_l, (i, d, ep)
+            assert (o[i] == ep + 1).all(), (i, ep)
+            assert (u[i] == ep).all(), (i, ep)
+
+        # and the full learn path over the same buffer stays healthy
         args = Args(name="dmfb", drop_num=2, fov=5, width=5, length=5,
                     batch_size=16, buffer_size=32, n_parallel_envs=16,
                     local_sampling=True)
@@ -295,12 +339,12 @@ class TestLocalSampling:
         res = rollout(lstate.params["agent"], states, jax.random.PRNGKey(2),
                       jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.05),
                       greedy=False)
-        rb = shard_batch(mesh, replay_lib.init_replay(
+        rb2 = shard_batch(mesh, replay_lib.init_replay(
             capacity=args.buffer_size, episode_limit=args.episode_limit,
             n_agents=2, obs_dim=args.obs_shape[-1], n_actions=args.n_actions,
         ))
-        rb = replay_lib.make_local_store(mesh)(rb, res.episodes)
-        lstate2, loss = learn_many(lstate, rb.data, rb.size,
+        rb2 = replay_lib.make_local_store(mesh)(rb2, res.episodes)
+        lstate2, loss = learn_many(lstate, rb2.data, rb2.size,
                                    jax.random.PRNGKey(3), 3)
         assert np.isfinite(float(loss))
         for leaf in jax.tree.leaves(lstate2.params):

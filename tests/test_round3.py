@@ -118,7 +118,16 @@ class TestChunkedNetForward:
         assert ro._net_chunks(32768) == 1            # at/below the knee
         assert ro._net_chunks(65536) == 2
         assert ro._net_chunks(131072) == 4           # 4 x 32768
-        assert ro._net_chunks(81920) == 4            # smallest exact divisor >= ceil(rows/32768)
+        assert ro._net_chunks(81920) == 4            # exact divisor near ceil(rows/32768)
+        # pathological-divisor guard: a semiprime row count (2 x 65537, e.g.
+        # B=65537 at N=2) has no divisor between 5 and 65537 — the old
+        # smallest-exact-divisor policy selected 65537 two-row applies (a
+        # compile-time bomb); now it pads and uses ceil(rows/32768) = 5
+        assert ro._net_chunks(131074) == 5
+        # prime row count: only 1 and itself divide — must stay bounded
+        assert ro._net_chunks(131071) == 4           # 2^17 - 1 is prime
+        # the cap itself: chunk count can never exceed _MAX_CHUNKS
+        assert ro._net_chunks(10_000_019) <= ro._MAX_CHUNKS  # prime, ~10M
         # off-TPU there is no cliff: never chunk
         monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
         assert ro._net_chunks(131072) == 1
@@ -153,3 +162,41 @@ class TestChunkedNetForward:
                                    np.asarray(res_chunk.reward), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(res_mono.success),
                                       np.asarray(res_chunk.success))
+        # non-dividing chunk count (rows=16, chunks=3 -> chunk 6, pad 2):
+        # the pad-and-trim path must also be exactly equal
+        monkeypatch.setattr(ro, "_net_chunks", lambda rows: 3)
+        res_pad = run()
+        np.testing.assert_array_equal(np.asarray(res_mono.episodes["u"]),
+                                      np.asarray(res_pad.episodes["u"]))
+        np.testing.assert_allclose(np.asarray(res_mono.reward),
+                                   np.asarray(res_pad.reward), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(res_mono.success),
+                                      np.asarray(res_pad.success))
+
+    def test_mesh_sharded_rollout_skips_chunking(self, monkeypatch):
+        """With a mesh-sharded batch, chunking is disabled (static
+        batch-axis slices need not align with shard boundaries; the row
+        cliff is per device) — make_rollout(mesh_sharded=True) must never
+        call the chunked path even above the knee."""
+        import marl_dmfb_tpu.rollout as ro
+        from marl_dmfb_tpu.algos.qlearn import make_learner
+        from marl_dmfb_tpu.config import Args
+
+        args = Args(name="dmfb", drop_num=2, fov=5, width=5, length=5,
+                    n_parallel_envs=8)
+        env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+        args.update_env_info(env.env_info())
+        init, _, net, _, _ = make_learner(args, env)
+        theta = init(jax.random.PRNGKey(0)).params["agent"]
+        states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), 8))
+
+        def boom(rows):
+            raise AssertionError("_net_chunks must not be consulted when "
+                                 "the rollout batch is mesh-sharded")
+
+        monkeypatch.setattr(ro, "_net_chunks", boom)
+        rollout = ro.make_rollout(env, net, args.rnn_hidden_dim,
+                                  mesh_sharded=True)
+        res = rollout(theta, states, jax.random.PRNGKey(2), jnp.float32(0.5),
+                      jnp.float32(0.0), jnp.float32(0.05), greedy=False)
+        assert np.isfinite(np.asarray(res.reward)).all()
