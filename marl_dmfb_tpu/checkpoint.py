@@ -15,7 +15,27 @@ import orbax.checkpoint as ocp
 
 
 def save(path: str, tree: Any) -> None:
+    """Save a checkpoint tree (collective under multi-process: every
+    process must call this on the same path; orbax coordinates through the
+    jax.distributed service).
+
+    Multi-host wrinkle (surfaced by the 2-process ring test,
+    tests/_distributed_worker.py): orbax can only serialize GLOBAL
+    jax.Arrays in a multi-process job — host-local single-device arrays
+    (the trainer's ``epsilon``/``key`` scalars, which never join the mesh)
+    make it raise "Cannot serialize host local jax.Array".  Those leaves
+    are value-identical on every process, so they are converted to numpy
+    (written by the primary host) before the save."""
     path = os.path.abspath(path)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        tree = jax.tree.map(
+            lambda x: np.asarray(x)
+            if isinstance(x, jax.Array) and x.is_fully_addressable
+            else x,
+            tree,
+        )
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, tree, force=True)
 
@@ -40,8 +60,14 @@ def restore(path: str, like: Any = None) -> Any:
     tree = getattr(meta, "item_metadata", meta)
     tree = getattr(tree, "tree", tree)
     if tree is None:
-        # metadata-less layout (older orbax format): restore directly,
-        # optionally against a template tree
+        # metadata-less layout (older orbax format): attempt a direct
+        # restore, optionally against a template tree.  Under orbax 0.11
+        # this always raises FileNotFoundError ("No structure could be
+        # identified") — the pinned environment cannot reconstruct a
+        # PyTree without _METADATA at all — which is the correct LOUD
+        # failure; the branch stays for orbax versions that can read
+        # aggregate-file checkpoints.  Behavior pinned by
+        # tests/test_checkpoint_layouts.py.
         if like is None:
             return ckptr.restore(path)
         return ckptr.restore(path, item=like)

@@ -69,6 +69,35 @@ def main():
                               jax.random.PRNGKey(3), 2)
     leaf = jax.tree.leaves(lstate.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+    # Full-state Orbax checkpoint under the 2-process ring (VERDICT r3
+    # #6): orbax multi-process save is COLLECTIVE — every process calls
+    # save() on the same path (process 0 owns the filesystem ops, the
+    # others sync via the jax.distributed coordination service the ring
+    # already established).  Restore is per-process host-side reads; the
+    # round-trip goes through the production restructure_by_path to prove
+    # a sharded trainer's resume works, not just raw orbax.
+    ckpt_dir = os.environ.get("MARL_DMFB_CKPT_DIR")
+    if ckpt_dir:
+        import numpy as np
+
+        from marl_dmfb_tpu import checkpoint as ckpt_lib
+        from marl_dmfb_tpu.trainer import restructure_by_path
+
+        path = os.path.join(ckpt_dir, "dist_state")
+        ckpt_lib.save(path, {
+            "learner": lstate._asdict(),
+            "epsilon": jnp.float32(0.5),
+        })
+        tree = ckpt_lib.restore(path)
+        restored = restructure_by_path(lstate._asdict(), tree["learner"],
+                                       path)
+        for a, b in zip(jax.tree.leaves(lstate._asdict()),
+                        jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(tree["epsilon"]) == 0.5
+        print(f"CKPT_OK process={jax.process_index()}", flush=True)
+
     print(f"DIST_OK process={jax.process_index()} loss={float(loss):.6f}",
           flush=True)
 

@@ -29,11 +29,14 @@ def setup():
 
 
 class TestDistributed:
-    def test_two_process_training_step(self):
+    def test_two_process_training_step(self, tmp_path):
         """2-process jax.distributed CPU job (the multi-host substitute,
         SURVEY §4:254-256): both processes must initialize via the
-        env-var contract, form one global mesh, and run the full sharded
-        training step to the same finite loss."""
+        env-var contract, form one global mesh, run the full sharded
+        training step to the same finite loss, and save+restore a
+        full-state Orbax checkpoint with BOTH processes participating
+        (orbax multi-process save is collective; restore goes through the
+        production restructure_by_path)."""
         import os
         import re
         import socket
@@ -54,6 +57,7 @@ class TestDistributed:
                 JAX_PROCESS_ID=str(pid),
                 XLA_FLAGS="--xla_force_host_platform_device_count=2",
                 JAX_PLATFORMS="cpu",
+                MARL_DMFB_CKPT_DIR=str(tmp_path),
             )
             procs.append(subprocess.Popen(
                 [sys.executable, worker], env=env,
@@ -69,8 +73,11 @@ class TestDistributed:
             m = re.search(r"DIST_OK process=\d loss=([\d.eE+-]+)", out)
             assert m, out[-2000:]
             losses.append(float(m.group(1)))
+            # the checkpoint round-trip ran and verified on every process
+            assert re.search(r"CKPT_OK process=\d", out), out[-2000:]
         assert losses[0] == pytest.approx(losses[1], abs=1e-6)
         assert np.isfinite(losses[0])
+        assert os.path.isdir(tmp_path / "dist_state")
 
 
 class TestMeshSharding:
