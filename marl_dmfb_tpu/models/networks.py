@@ -223,6 +223,16 @@ class CRNNAgent(nn.Module):
         h = self.gru_step(self.encode(inputs), h)
         return self.q_head(h), h
 
+    # NOTE (round-4 refuted optimization): a ``step_split`` method taking
+    # (raw int8 obs, last-action onehot) separately — skipping the
+    # concatenated-f32-input materialization in the actor scan — was
+    # implemented, equivalence-tested bitwise, and measured on the v5e:
+    # runtime -2% (net-only scan 90.9 vs 92.8 ms at 65536 rows) but the
+    # int8 loop operand made XLA:TPU compile blow up 28x (139 s net-only;
+    # the full fused rollout did not finish compiling in 27 minutes).
+    # Removed; the actor keeps the single concatenated input.  RESULTS.md
+    # "Actor roofline (round 4)".
+
 
 def build_agent_net(args) -> nn.Module:
     """Pick the agent net from config (reference policy/vdn.py:20-25).

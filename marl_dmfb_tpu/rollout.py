@@ -108,33 +108,43 @@ def make_rollout(
     B*N/n_dev, below the knee for any realistic sharded config."""
     N, A, T = env.n_agents, env.n_actions, env.episode_limit
 
+    # The net eats ONE concatenated f32 input row per agent.  A split-input
+    # variant (raw int8 obs + onehot fed separately, skipping the in-scan
+    # concat materialization) was built and REFUTED on the v5e: runtime
+    # -2% on the net-only scan (90.9 vs 92.8 ms) but the int8 loop operand
+    # blows XLA:TPU compile up 28x (139 s net-only; the full fused rollout
+    # did not finish compiling in 27 minutes vs ~15 s for this path).
+    # RESULTS.md "Actor roofline (round 4)".
     def net_forward(theta, obs, last_oh, h):
         B = obs.shape[0]
         rows = B * N
-        x = jnp.concatenate(
-            [obs.astype(jnp.float32), last_oh], axis=-1
-        ).reshape(rows, -1)
         hh = h.reshape(rows, rnn_hidden)
+        ins = (jnp.concatenate(
+            [obs.astype(jnp.float32), last_oh], axis=-1
+        ).reshape(rows, -1),)
+        apply = functools.partial(net.apply, {"params": theta})
         n_chunks = 1 if mesh_sharded else _net_chunks(rows)
         if n_chunks > 1:
             c = -(-rows // n_chunks)
             pad = n_chunks * c - rows
             if pad:  # non-dividing chunk count: pad batch dim, trim after
-                x = jnp.concatenate(
-                    [x, jnp.zeros((pad, x.shape[1]), x.dtype)]
+                ins = tuple(
+                    jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+                    ) for x in ins
                 )
                 hh = jnp.concatenate(
                     [hh, jnp.zeros((pad, rnn_hidden), hh.dtype)]
                 )
             outs = [
-                net.apply({"params": theta}, x[i * c:(i + 1) * c],
-                          hh[i * c:(i + 1) * c])
+                apply(*(x[i * c:(i + 1) * c] for x in ins),
+                      hh[i * c:(i + 1) * c])
                 for i in range(n_chunks)
             ]
             q = jnp.concatenate([o[0] for o in outs])[:rows]
             h2 = jnp.concatenate([o[1] for o in outs])[:rows]
         else:
-            q, h2 = net.apply({"params": theta}, x, hh)
+            q, h2 = apply(*ins, hh)
         return q.reshape(B, N, A), h2.reshape(B, N, rnn_hidden)
 
     @functools.partial(jax.jit, static_argnames=("greedy",))
