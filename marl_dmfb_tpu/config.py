@@ -98,6 +98,9 @@ class Args:
     remat: bool = False           # rematerialize BPTT activations (HBM)
     fused_streams: bool = False   # eval+target GRU streams in one scan
     scan_unroll: int = 0          # BPTT scan unroll; 0 = auto (full if T<=64)
+    ckpt_replay: bool = False     # checkpoint replay ring + training env
+    #                               states too -> bit-exact resume (big
+    #                               checkpoints; see Trainer.save_model)
     param_ema: float = 0.0        # per-update EMA decay of eval params
     #                               (0 = off; e.g. 0.999 smooths the
     #                               late-training oscillation of large-B
@@ -211,6 +214,13 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
                         "cross-device episode gather per update — saves "
                         "ICI bandwidth on real pods); stratified-uniform "
                         "instead of global-uniform sampling")
+    p.add_argument("--ckpt_replay", default=False, action="store_true",
+                   help="include the replay ring and training env states "
+                        "in checkpoints for BIT-EXACT resume (identical "
+                        "trajectories to an uninterrupted run, wear maps "
+                        "preserved under --b_degrade); off by default — "
+                        "the replay dominates checkpoint size (a MEDA "
+                        "10k-episode buffer is ~5GB)")
     p.add_argument("--remat", default=False, action="store_true",
                    help="rematerialize BPTT activations in the learn step "
                         "(fits large MEDA configs in HBM at ~1.3x FLOPs)")

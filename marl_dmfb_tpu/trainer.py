@@ -318,7 +318,7 @@ class Trainer:
         path = os.path.join(
             self.model_dir, f"{self.args.ith_run}_{tag}_state"
         )
-        ckpt.save(path, {
+        tree = {
             "learner": self.learner_state._asdict(),
             # deploy/eval params: the EMA when --param_ema is on (what
             # evaluate.py restores via params_only), raw params otherwise
@@ -332,7 +332,21 @@ class Trainer:
                 "hyper_hidden_dim": self.args.hyper_hidden_dim,
                 "qmix_hidden_dim": self.args.qmix_hidden_dim,
             },
-        })
+        }
+        if getattr(self.args, "ckpt_replay", False) and not self.eval_only:
+            # --ckpt_replay: BIT-EXACT resume.  The default checkpoint
+            # restores learner/epsilon/PRNG but restarts the replay ring
+            # empty and re-inits the training env states — statistically
+            # fine, but resumed trajectories diverge from an uninterrupted
+            # run, and under --b_degrade the accumulated electrode wear in
+            # the training envs would be lost.  This saves the replay
+            # (data+cursor+size) and the training env states too; off by
+            # default because the replay is the dominant HBM tenant (a
+            # MEDA 10k-episode buffer is ~5GB on disk).
+            self.replay = jax.block_until_ready(self.replay)
+            tree["replay"] = self.replay._asdict()
+            tree["env_states"] = self.env_states._asdict()
+        ckpt.save(path, tree)
         return path
 
     def load_model(self, tag, params_only: bool = False):
@@ -401,6 +415,24 @@ class Trainer:
             ),
             train_step=jnp.asarray(tree["learner"]["train_step"]),
         )
+        if not params_only and "replay" in tree and self.replay is not None:
+            # --ckpt_replay checkpoints: restore the replay ring and the
+            # training env states for bit-exact resume (see save_model).
+            from marl_dmfb_tpu.replay import ReplayState
+
+            rep = restructure_by_path(self.replay._asdict(), tree["replay"],
+                                      path)
+            self.replay = ReplayState(**jax.tree.map(jnp.asarray, rep))
+            env = restructure_by_path(self.env_states._asdict(),
+                                      tree["env_states"], path)
+            self.env_states = type(self.env_states)(
+                **jax.tree.map(jnp.asarray, env)
+            )
+            if self.mesh is not None:
+                from marl_dmfb_tpu.parallel.mesh import shard_batch
+
+                self.replay = shard_batch(self.mesh, self.replay)
+                self.env_states = shard_batch(self.mesh, self.env_states)
         if params_only:
             # see above: a checkpoint without an 'ema' entry evaluates with
             # its raw params, never this process's stale average
@@ -414,6 +446,12 @@ class Trainer:
                 if "ema" in tree else self.learner_state.params
             )
         self.epsilon = jnp.asarray(tree["epsilon"])
+        # the training PRNG stream resumes where it stopped (without this
+        # a resumed run replays the fresh-init key sequence — saved since
+        # round 1 but only restored since round 4).  Evaluation
+        # (params_only) keeps its own fresh seed-derived stream.
+        if "key" in tree and not params_only:
+            self.key = jnp.asarray(tree["key"])
 
     def train_cycle(self):
         """One collect+learn cycle; returns env steps consumed."""

@@ -98,6 +98,56 @@ class TestResume:
         t2.train_cycle()  # exercises the restored optimizer state
         assert int(t2.learner_state.train_step) > step_before
 
+    def test_ckpt_replay_resume_is_bit_exact(self, tmp_path):
+        """--ckpt_replay: a save/restore mid-training must produce EXACTLY
+        the trajectory of an uninterrupted run — replay ring, training env
+        states (incl. accumulated electrode wear under b_degrade), PRNG,
+        epsilon all round-trip."""
+        def mk(dd):
+            args = Args(
+                name="dmfb", alg="vdn", drop_num=2, fov=5,
+                batch_size=8, buffer_size=32, n_parallel_envs=4,
+                evaluate_task=4, evaluate_cycle=300, n_steps=350,
+                anneal_steps=500, data_dir=str(dd), ckpt_replay=True,
+                b_degrade=True, per_degrade=1.0,
+            )
+            args.width = args.length = 5
+            env = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5,
+                           b_degrade=True, per_degrade=1.0)
+            return Trainer(env, args)
+
+        straight = mk(tmp_path / "a")
+        for _ in range(4):
+            straight.train_cycle()
+
+        t1 = mk(tmp_path / "b")
+        t1.train_cycle()
+        t1.train_cycle()
+        t1.save_model("mid")
+        t2 = mk(tmp_path / "b")
+        t2.load_model("mid")
+        # the restored state IS the saved state
+        np.testing.assert_array_equal(np.asarray(t2.key),
+                                      np.asarray(t1.key))
+        assert float(t2.epsilon) == float(t1.epsilon)
+        np.testing.assert_array_equal(np.asarray(t2.replay.data["u"]),
+                                      np.asarray(t1.replay.data["u"]))
+        np.testing.assert_array_equal(np.asarray(t2.env_states.usage),
+                                      np.asarray(t1.env_states.usage))
+        t2.train_cycle()
+        t2.train_cycle()
+        # resumed trajectory == uninterrupted trajectory, bit-for-bit
+        assert int(t2.learner_state.train_step) == int(
+            straight.learner_state.train_step)
+        np.testing.assert_array_equal(
+            np.asarray(t2.replay.data["o_ext"]),
+            np.asarray(straight.replay.data["o_ext"]))
+        np.testing.assert_array_equal(np.asarray(t2.env_states.health),
+                                      np.asarray(straight.env_states.health))
+        for a, b in zip(jax.tree.leaves(t2.learner_state.params),
+                        jax.tree.leaves(straight.learner_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestCrossBoardQmixEval:
     def test_qmix_params_only_restore_on_bigger_board(self, tmp_path):
