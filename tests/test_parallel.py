@@ -283,6 +283,42 @@ class TestLocalSampling:
             # the rest of the shard is still empty
             assert not u[d * cap_l + b_l:(d + 1) * cap_l].any()
 
+    def test_local_store_ring_wraparound(self):
+        """Per-shard rings must overwrite OLDEST-first independently on
+        every device: after 3 stores into a capacity of 2 stores, each
+        shard holds the two most recent batches at the right local rows
+        (cursor wrapped once), and size saturates at capacity."""
+        mesh = make_mesh()
+        n = mesh.devices.size
+        cap, B, T, N, obs = 32, 16, 4, 2, 6  # cap = 2 stores of B
+        rb = shard_batch(mesh, replay_lib.init_replay(
+            capacity=cap, episode_limit=T, n_agents=N, obs_dim=obs,
+            n_actions=5,
+        ))
+        store_local = replay_lib.make_local_store(mesh)
+
+        def batch(tag):
+            return shard_batch(mesh, {
+                "o_ext": jnp.ones((B, T + 1, N, obs), jnp.int8),
+                "u": jnp.full((B, T, N, 1), tag, jnp.int8),
+                "r": jnp.zeros((B, T, 1), jnp.float32),
+                "padded": jnp.zeros((B, T, 1), bool),
+                "terminated": jnp.zeros((B, T, 1), bool),
+            })
+
+        for tag in (1, 2, 3):
+            rb = store_local(rb, batch(tag))
+        assert int(rb.size) == cap
+        assert int(rb.cursor) == B  # wrapped once: 3*16 % 32
+        u = np.asarray(rb.data["u"])            # (cap, T, N)
+        cap_l, b_l = cap // n, B // n
+        for d in range(n):
+            shard = u[d * cap_l:(d + 1) * cap_l]
+            # local rows [0, b_l): overwritten by batch 3; rows [b_l, 2b_l):
+            # still batch 2 — independent ring per shard
+            assert (shard[:b_l] == 3).all(), (d, shard[:, 0, 0])
+            assert (shard[b_l:2 * b_l] == 2).all(), (d, shard[:, 0, 0])
+
     def test_local_sampling_draws_only_valid_episodes(self):
         """After ONE store (buffer 1/2 full), every sampled episode must be
         one that was actually stored — the global-contiguous ring would
