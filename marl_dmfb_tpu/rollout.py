@@ -207,8 +207,15 @@ def make_rollout(
             eps_next = eps if greedy else jnp.maximum(
                 min_epsilon, eps - anneal_per_step * live_frac
             )
-            new_obs = jnp.where(lv3, out.obs, obs)
-            new_last = jnp.where(lv3, onehot, last_oh)
+            # The obs/last-action carries are NOT frozen for terminated
+            # episodes: every stored tensor and metric is already
+            # live-masked, and the env state IS frozen (states2), so the
+            # q-values/actions computed on dead rows are unobservable —
+            # the rollout's outputs are bitwise-identical with or without
+            # freezing these carries, and dropping the two selects saves
+            # a (B,N,obs) int8 + (B,N,A) f32 select per scan step.
+            new_obs = out.obs
+            new_last = onehot
             return (
                 (states2, new_obs, new_last, h2, live_next, eps_next, k),
                 (trans, metrics),
