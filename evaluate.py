@@ -91,8 +91,8 @@ def evaluate_rendered(trainer: Trainer, args) -> dict:
     }
 
 
-def main(argv=None):
-    args = get_evaluate_args(argv)
+def evaluate_one(args) -> dict:
+    """Evaluate one (board, model) configuration; returns the metric dict."""
     env = make_env_from_args(args)
     tag = None
     if args.load_model:
@@ -105,11 +105,46 @@ def main(argv=None):
     trainer = Trainer(env, args, eval_only=True)
     if tag is not None:
         trainer.load_model(tag, params_only=True)
-    start = time.time()
     if args.show or args.show_save:
-        m = evaluate_rendered(trainer, args)
-    else:
-        m = trainer.evaluate()
+        return evaluate_rendered(trainer, args)
+    return trainer.evaluate()
+
+
+def main(argv=None):
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # --boards=10,20,50: the zero-shot generalization sweep as ONE command
+    # (FOV-local observations make one checkpoint valid on every board
+    # size — the reference's generalization workload, evaluate.py:7-29,
+    # needed one manual invocation per size).
+    boards = None
+    for a in list(argv):
+        if a.startswith("--boards"):
+            argv.remove(a)
+            boards = [int(b) for b in
+                      (a.split("=", 1)[1] if "=" in a
+                       else "").split(",") if b]
+    args = get_evaluate_args(argv)
+    start = time.time()
+    if boards:
+        rows = []
+        for size in boards:
+            a = get_evaluate_args(argv)
+            a.width = a.length = size
+            a.apply_env_defaults()
+            m = evaluate_one(a)
+            rows.append((size, m))
+            print(f"{size}x{size}: success {m['success_rate']:.2f}, "
+                  f"steps {m['steps']:.1f}, reward {m['reward']:.2f}",
+                  flush=True)
+        print("time:", time.time() - start)
+        print(f"{'board':>8} {'success':>8} {'steps':>7} {'reward':>8}")
+        for size, m in rows:
+            print(f"{size:>5}x{size:<3} {m['success_rate']:>8.2f} "
+                  f"{m['steps']:>7.1f} {m['reward']:>8.2f}")
+        return
+    m = evaluate_one(args)
     print("time:", time.time() - start)
     print("The average total_rewards of {} is  {}".format(args.alg, m["reward"]))
     print("The average total_steps is: {}".format(m["steps"]))

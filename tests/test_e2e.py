@@ -148,6 +148,22 @@ class TestResume:
                         jax.tree.leaves(straight.learner_state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+        # a mismatched replay capacity on resume must fail loudly BY PATH,
+        # never silently truncate/pad the restored ring
+        args3 = Args(
+            name="dmfb", alg="vdn", drop_num=2, fov=5,
+            batch_size=8, buffer_size=64, n_parallel_envs=4,
+            evaluate_task=4, evaluate_cycle=300, n_steps=350,
+            anneal_steps=500, data_dir=str(tmp_path / "b"), ckpt_replay=True,
+            b_degrade=True, per_degrade=1.0,
+        )
+        args3.width = args3.length = 5
+        env3 = make_env("dmfb", width=5, length=5, n_droplets=2, fov=5,
+                        b_degrade=True, per_degrade=1.0)
+        t3 = Trainer(env3, args3)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            t3.load_model("mid")
+
 
 class TestCrossBoardQmixEval:
     def test_qmix_params_only_restore_on_bigger_board(self, tmp_path):
