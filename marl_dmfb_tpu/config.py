@@ -98,6 +98,8 @@ class Args:
     remat: bool = False           # rematerialize BPTT activations (HBM)
     fused_streams: bool = False   # eval+target GRU streams in one scan
     scan_unroll: int = 0          # BPTT scan unroll; 0 = auto (full if T<=64)
+    vmap_seeds: int = 0           # train K independent seeds as ONE vmapped
+    #                               program (parallel/seedfarm.py); 0 = off
     ckpt_replay: bool = False     # checkpoint replay ring + training env
     #                               states too -> bit-exact resume (big
     #                               checkpoints; see Trainer.save_model)
@@ -214,6 +216,12 @@ def get_train_args(argv=None, pri: bool = True) -> Args:
                         "cross-device episode gather per update — saves "
                         "ICI bandwidth on real pods); stratified-uniform "
                         "instead of global-uniform sampling")
+    p.add_argument("--vmap_seeds", type=int, default=0,
+                   help="train K independent seeds (args.seed..seed+K-1) "
+                        "simultaneously as one vmapped program — a "
+                        "seed-stability study for roughly the cost of one "
+                        "run; per-seed checkpoints land at ith_run=i and "
+                        "per-seed curves beside a stacked *_farm.npy")
     p.add_argument("--ckpt_replay", default=False, action="store_true",
                    help="include the replay ring and training env states "
                         "in checkpoints for BIT-EXACT resume (identical "

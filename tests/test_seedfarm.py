@@ -1,0 +1,107 @@
+"""Seed farm (parallel/seedfarm.py): K vmapped independent trainings."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marl_dmfb_tpu.config import Args
+from marl_dmfb_tpu.envs import make_env
+from marl_dmfb_tpu.trainer import Trainer
+
+
+def _args(tmp_path, **kw):
+    base = dict(name="dmfb", alg="vdn", drop_num=2, fov=5,
+                batch_size=8, buffer_size=32, n_parallel_envs=4,
+                evaluate_task=4, evaluate_cycle=400, n_steps=700,
+                anneal_steps=500, data_dir=str(tmp_path))
+    base.update(kw)
+    a = Args(**base)
+    a.width = a.length = 5
+    return a
+
+
+def _env():
+    return make_env("dmfb", width=5, length=5, n_droplets=2, fov=5)
+
+
+class TestSeedFarm:
+    def test_farm_cycle_matches_independent_trainers(self, tmp_path):
+        """Farm seed i's first training cycle must equal a single-seed
+        Trainer run with seed = args.seed + i, draw for draw.  The PRNG
+        streams are identical by construction; the numerics agree to
+        ~1 ULP (vmap changes XLA's lowering of the batched reductions, so
+        exact bitwise equality is not guaranteed across vmap)."""
+        from marl_dmfb_tpu.parallel import seedfarm
+
+        S = 2
+        # independent reference runs (one cycle each, no eval)
+        singles = []
+        for i in range(S):
+            a = _args(tmp_path / f"s{i}", seed=12 + i)
+            env = _env()
+            t = Trainer(env, a)
+            t.train_cycle()
+            singles.append(t)
+
+        # farm: monkeypatch-free single-cycle run via a tiny step budget —
+        # one cycle collects 4 episodes x <=16 steps each, so budget 1
+        # guarantees exactly one cycle before the loop exits; eval cadence
+        # is pushed past the budget so no eval key is drawn
+        a = _args(tmp_path / "farm", seed=12, evaluate_cycle=10**9)
+        env = _env()
+        a.update_env_info(env.env_info())
+        a.n_steps = 1
+        curves = seedfarm.run_farm(a, env, S)
+        assert curves["success_rate"].shape[0] == S
+
+        for i in range(S):
+            path = os.path.join(str(tmp_path / "farm"), "model", "vdn",
+                                "fov5", f"{i}_final_state")
+            from marl_dmfb_tpu import checkpoint as ckpt
+
+            tree = ckpt.restore(path)
+            for (ka, va), vb in zip(
+                sorted_leaves(tree["learner"]["params"]),
+                [v for _, v in sorted_leaves(
+                    singles[i].learner_state.params)],
+            ):
+                np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                           rtol=1e-6, atol=1e-8,
+                                           err_msg=f"seed {i}: {ka}")
+            np.testing.assert_array_equal(
+                np.asarray(tree["epsilon"]),
+                np.asarray(singles[i].epsilon), err_msg=f"seed {i} epsilon")
+
+    def test_farm_cli_e2e(self, tmp_path):
+        """--vmap_seeds through the train.py path: curves + per-seed
+        checkpoints that evaluate.py's loader accepts."""
+        from marl_dmfb_tpu.parallel.seedfarm import run_farm
+
+        a = _args(tmp_path, seed=12, param_ema=0.9)
+        env = _env()
+        a.update_env_info(env.env_info())
+        a.n_steps = 300
+        curves = run_farm(a, env, 2)
+        assert curves["success_rate"].shape[0] == 2
+        assert curves["success_rate"].shape[1] >= 1
+        farm_npy = glob.glob(str(tmp_path / "TrainResult" / "vdn" / "fov5" /
+                                 "*" / "*success_rate_farm.npy"))
+        assert farm_npy, "stacked farm curve missing"
+        # per-seed checkpoint loads through the standard Trainer path
+        for i in range(2):
+            a2 = _args(tmp_path, seed=12, ith_run=i, param_ema=0.9)
+            env2 = _env()
+            t = Trainer(env2, a2, eval_only=True)
+            t.load_model("final", params_only=True)
+            m = t.evaluate()
+            assert 0.0 <= m["success_rate"] <= 1.0
+
+
+def sorted_leaves(tree):
+    from jax.tree_util import tree_flatten_with_path
+
+    pl, _ = tree_flatten_with_path(tree)
+    return sorted(((str(k), v) for k, v in pl), key=lambda t: t[0])

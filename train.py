@@ -36,6 +36,17 @@ def main(argv=None):
         print(f"mesh: {mesh.devices.size} devices, sharding env batch",
               flush=True)
     env = make_env_from_args(args)
+    if args.vmap_seeds > 1:
+        # K-seed farm: every seed is an independent training, vmapped into
+        # one program (parallel/seedfarm.py).  Mesh + farm composition is
+        # not wired (the farm IS the parallelism axis here).
+        if mesh is not None:
+            raise SystemExit("--vmap_seeds runs single-device; use --mesh=off")
+        from marl_dmfb_tpu.parallel.seedfarm import run_farm
+
+        args.update_env_info(env.env_info())
+        run_farm(args, env, args.vmap_seeds)
+        return
     trainer = Trainer(env, args, mesh=mesh)
     if args.load_model:
         # resume from a full-state checkpoint (params, target, optimizer,
