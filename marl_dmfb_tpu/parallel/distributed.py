@@ -53,11 +53,3 @@ def init_distributed(
             process_id=process_id,
         )
     return jax.process_count() > 1
-
-
-def local_batch_slice(global_batch: int) -> slice:
-    """This host's slice of a globally sharded batch axis."""
-    n = jax.process_count()
-    i = jax.process_index()
-    per = global_batch // n
-    return slice(i * per, (i + 1) * per)

@@ -14,6 +14,8 @@ Usage:
 Prints one JSON line per phase.  This is the evidence behind the
 "speed-of-light" per-chip claims (see RESULTS.md, Profiling section).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

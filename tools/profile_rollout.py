@@ -13,6 +13,8 @@ jit_rollout line as the true wall time.
 
 Usage: python profile_rollout.py [B] [trace_dir]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 from marl_dmfb_tpu.utils import apply_platform_env

@@ -4,6 +4,8 @@ Times (a) the full fused rollout, (b) a rollout variant with random actions
 (no net forward), (c) net forward alone over B*N rows x T steps, on the
 real TPU.  Untracked scratch — delete after use.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 from marl_dmfb_tpu.utils import apply_platform_env

@@ -1,5 +1,7 @@
 """Scratch: split CRNN forward cost (encode convs vs GRU vs head) at
 rollout shapes on the real TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 from marl_dmfb_tpu.utils import apply_platform_env

@@ -2,6 +2,8 @@
 artifacts/time_to_quality.json (VERDICT r3 #7).  Reads the training run's
 success_rate/runtime npy curves (online eval = greedy EMA params, 100 fresh
 tasks on the train board — the artifact quality protocol)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import glob
 import json
 import sys
