@@ -25,11 +25,24 @@ Artifacts per seed ``i``: full-state checkpoints at
 ``model/<alg>/fov<f>/{i}_<tag>_state`` (loadable by ``evaluate.py
 --ith_run=i``) and curve npys with the trainer's filenames; plus a stacked
 ``..._farm.npy`` matrix of all seeds' curves.
+
+Resume: each eval cycle also writes one FARM checkpoint
+(``farm_<E>_resume``: stacked learner states, EMA, epsilon, PRNG streams,
+train+eval env states, curve history; the two most recent are kept so a
+kill mid-save still leaves a valid one).  ``--load_model`` restores the
+latest and continues — a wedge-killed farm run loses at most one eval
+cycle (VERDICT r4 #3).  With ``--ckpt_replay`` the replay rings are
+included and the continuation is BIT-EXACT (identical trajectories to an
+uninterrupted run, wear maps preserved); without it the rings restart
+empty, mirroring the single-run Trainer's resume contract
+(trainer.py:336-350).
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 import time
 
 import jax
@@ -40,6 +53,18 @@ from marl_dmfb_tpu import checkpoint as ckpt
 from marl_dmfb_tpu import replay as replay_lib
 from marl_dmfb_tpu.algos.qlearn import make_learner
 from marl_dmfb_tpu.rollout import make_rollout, summarize_eval
+
+
+def _resume_tags(model_dir: str) -> list:
+    """Eval-cycle tags of the farm resume checkpoints on disk, ascending."""
+    if not os.path.isdir(model_dir):
+        return []
+    tags = []
+    for d in os.listdir(model_dir):
+        m = re.fullmatch(r"farm_(\d+)_resume", d)
+        if m:
+            tags.append(int(m.group(1)))
+    return sorted(tags)
 
 
 def run_farm(args, env, n_seeds: int):
@@ -166,7 +191,96 @@ def run_farm(args, env, n_seeds: int):
     time_steps = np.zeros(S, np.int64)
     evaluate_steps = -1
     success_hist, reward_hist, steps_hist, runtime = [], [], [], []
-    start = time.time()
+    elapsed0 = 0.0
+    ckpt_replay = bool(getattr(args, "ckpt_replay", False))
+
+    if getattr(args, "load_model", False):
+        # resume from the latest farm checkpoint (see module docstring);
+        # restore is key-path-strict via the Trainer's restructure helper so
+        # a layout drift fails loudly rather than restoring garbage.
+        from marl_dmfb_tpu.trainer import restructure_by_path
+
+        tags = _resume_tags(model_dir)
+        if not tags:
+            raise FileNotFoundError(
+                f"--load_model: no farm_<E>_resume checkpoint under "
+                f"{model_dir}"
+            )
+        tree = path = resume_tag = None
+        for t in reversed(tags):  # newest first; older one on corruption
+            path = os.path.join(model_dir, f"farm_{t}_resume")
+            try:
+                tree, resume_tag = ckpt.restore(path), t
+                break
+            except Exception as e:
+                print(f"farm resume: {path} unreadable ({e}); trying older",
+                      flush=True)
+        if tree is None:
+            raise FileNotFoundError(
+                f"--load_model: no readable farm checkpoint under "
+                f"{model_dir} (tried {tags})"
+            )
+        if ckpt_replay != ("rbs" in tree):
+            raise ValueError(
+                f"farm resume at {path}: checkpoint "
+                f"{'includes' if 'rbs' in tree else 'lacks'} replay rings "
+                f"but --ckpt_replay is {'off' if ckpt_replay else 'on'} — "
+                "resume with the same flag the run was started with"
+            )
+        lstates = type(lstates)(**restructure_by_path(
+            lstates._asdict(), tree["lstates"], path))
+        states = type(states)(**restructure_by_path(
+            states._asdict(), tree["states"], path))
+        eval_states = type(eval_states)(**restructure_by_path(
+            eval_states._asdict(), tree["eval_states"], path))
+        if ckpt_replay:
+            rbs = type(rbs)(**restructure_by_path(
+                rbs._asdict(), tree["rbs"], path))
+        if ema is not None:
+            ema = restructure_by_path(ema, tree["ema"], path)
+        eps = jnp.asarray(tree["eps"])
+        keys = jnp.asarray(tree["keys"])
+        k_eval = jnp.asarray(tree["k_eval"])
+        time_steps = np.asarray(tree["time_steps"]).astype(np.int64)
+        c = tree["curves"]
+        success_hist = [c["success"][:, j]
+                        for j in range(c["success"].shape[1])]
+        reward_hist = [c["reward"][:, j] for j in range(c["reward"].shape[1])]
+        steps_hist = [c["steps"][:, j] for j in range(c["steps"].shape[1])]
+        runtime = list(np.asarray(c["runtime"]))
+        evaluate_steps = int(resume_tag)
+        elapsed0 = float(runtime[-1])
+        print(f"farm resume: restored {path} at eval cycle {evaluate_steps},"
+              f" mean steps {int(time_steps.mean())}", flush=True)
+
+    def save_farm(tag):
+        # Closures read run_farm's CURRENT locals, so this always snapshots
+        # the live state.  Host-side numpy copies: orbax serializes them
+        # without per-leaf device RPCs over the tunnel.
+        host = lambda t: jax.tree.map(np.asarray, t)
+        tree = {
+            "lstates": host(lstates._asdict()),
+            "states": host(states._asdict()),
+            "eval_states": host(eval_states._asdict()),
+            "eps": np.asarray(eps),
+            "keys": np.asarray(keys),
+            "k_eval": np.asarray(k_eval),
+            "time_steps": np.asarray(time_steps),
+            "curves": {
+                "success": np.stack(success_hist, axis=1),
+                "reward": np.stack(reward_hist, axis=1),
+                "steps": np.stack(steps_hist, axis=1),
+                "runtime": np.asarray(runtime),
+            },
+            **({"ema": host(ema)} if ema is not None else {}),
+            **({"rbs": host(rbs._asdict())} if ckpt_replay else {}),
+        }
+        ckpt.save(os.path.join(model_dir, f"farm_{tag}_resume"), tree)
+        for old in _resume_tags(model_dir)[:-2]:
+            shutil.rmtree(os.path.join(model_dir, f"farm_{old}_resume"),
+                          ignore_errors=True)
+
+    start = time.time() - elapsed0
     while time_steps.mean() < args.total_env_steps:
         if time_steps.mean() // args.evaluate_cycle > evaluate_steps:
             evaluate_steps += 1
@@ -184,6 +298,7 @@ def run_farm(args, env, n_seeds: int):
             print(f"farm eval {evaluate_steps}: mean steps "
                   f"{int(time_steps.mean())}, success "
                   f"{np.round(success_hist[-1], 3)}", flush=True)
+            save_farm(evaluate_steps)
         keys, k1s = next_keys(keys)
         keys, k2s = next_keys(keys)
         lstates, states, rbs, eps, dsteps, loss = farm_cycle(

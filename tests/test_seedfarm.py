@@ -100,6 +100,106 @@ class TestSeedFarm:
             assert 0.0 <= m["success_rate"] <= 1.0
 
 
+    def test_farm_multicycle_matches_trainers(self, tmp_path):
+        """VERDICT r4 #4: beyond cycle 1, farm training must stay
+        draw-for-draw with K independent Trainers.  The singles side
+        mirrors the farm's stopping rule (mean steps across seeds) so both
+        run the SAME number of cycles (>=3); params/epsilon are compared
+        after the run, and curve-level parity is asserted by evaluating
+        both parameter sets under one identical eval protocol (eval_only
+        Trainers with the same seed draw the same eval tasks)."""
+        from marl_dmfb_tpu import checkpoint as ckpt
+        from marl_dmfb_tpu.parallel import seedfarm
+
+        S, budget = 2, 300
+        singles = [Trainer(_env(), _args(tmp_path / f"s{i}", seed=12 + i))
+                   for i in range(S)]
+        steps = np.zeros(S)
+        cycles = 0
+        while steps.mean() < budget:
+            for i, t in enumerate(singles):
+                steps[i] += t.train_cycle()
+            cycles += 1
+        assert cycles >= 3, f"budget gave only {cycles} cycles"
+
+        a = _args(tmp_path / "farm", seed=12, evaluate_cycle=10**9)
+        env = _env()
+        a.update_env_info(env.env_info())
+        a.n_steps = budget
+        seedfarm.run_farm(a, env, S)
+
+        for i in range(S):
+            path = os.path.join(str(tmp_path / "farm"), "model", "vdn",
+                                "fov5", f"{i}_final_state")
+            tree = ckpt.restore(path)
+            for (ka, va), vb in zip(
+                sorted_leaves(tree["learner"]["params"]),
+                [v for _, v in sorted_leaves(
+                    singles[i].learner_state.params)],
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-6,
+                    err_msg=f"seed {i} after {cycles} cycles: {ka}")
+            np.testing.assert_allclose(
+                np.asarray(tree["epsilon"]), np.asarray(singles[i].epsilon),
+                rtol=1e-6, err_msg=f"seed {i} epsilon")
+            # curve-level parity: same eval protocol over both param sets
+            singles[i].save_model("single")
+            m = {}
+            for name, tag in (("farm", "final"), ("single", "single")):
+                a2 = _args(tmp_path / ("farm" if name == "farm" else f"s{i}"),
+                           seed=12, ith_run=0 if name == "single" else i)
+                t_eval = Trainer(_env(), a2, eval_only=True)
+                t_eval.load_model(tag, params_only=True)
+                m[name] = t_eval.evaluate()
+            for key in ("success_rate", "steps"):
+                np.testing.assert_allclose(
+                    m["farm"][key], m["single"][key], rtol=1e-6,
+                    err_msg=f"seed {i} eval {key}")
+
+    def test_farm_resume_continues_curves(self, tmp_path):
+        """VERDICT r4 #3: a farm killed after its eval-cycle checkpoint and
+        resumed with --load_model reproduces an uninterrupted run's curves
+        BIT-EXACTLY (--ckpt_replay includes the replay rings and env
+        states, so the continuation replays identical trajectories)."""
+        from marl_dmfb_tpu.parallel import seedfarm
+
+        S = 2
+        kw = dict(evaluate_cycle=120, ckpt_replay=True, seed=12)
+
+        def farm(sub, budget, **extra):
+            a = _args(tmp_path / sub, **{**kw, **extra})
+            env = _env()
+            a.update_env_info(env.env_info())
+            a.n_steps = budget
+            return seedfarm.run_farm(a, env, S)
+
+        full = farm("full", 400)
+        farm("res", 250)            # "killed" early run (>=2 eval cycles)
+        resumed = farm("res", 400, load_model=True)
+        assert resumed["success_rate"].shape == full["success_rate"].shape
+        np.testing.assert_array_equal(resumed["success_rate"],
+                                      full["success_rate"])
+        np.testing.assert_array_equal(resumed["steps"], full["steps"])
+        np.testing.assert_array_equal(resumed["Rewards"], full["Rewards"])
+        # at most the two newest resume checkpoints are kept on disk
+        mdir = os.path.join(str(tmp_path / "res"), "model", "vdn", "fov5")
+        assert len(seedfarm._resume_tags(mdir)) <= 2
+
+    def test_farm_resume_requires_checkpoint(self, tmp_path):
+        """--load_model with no farm checkpoint on disk fails loudly."""
+        import pytest
+
+        from marl_dmfb_tpu.parallel import seedfarm
+
+        a = _args(tmp_path, seed=12, load_model=True)
+        env = _env()
+        a.update_env_info(env.env_info())
+        a.n_steps = 100
+        with pytest.raises(FileNotFoundError, match="farm_<E>_resume"):
+            seedfarm.run_farm(a, env, 2)
+
+
 def sorted_leaves(tree):
     from jax.tree_util import tree_flatten_with_path
 
