@@ -14,10 +14,19 @@ sys.path.append("/root/reference")  # append: repo-root modules (evaluate.py) mu
 from marl_dmfb_tpu.utils.returns import td_lambda_target
 from tests.ref_loader import load_reference_meda
 
+# Differential-vs-reference module: self-skips on CI, where neither the
+# reference tree nor torch is available.
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="reference simulator not mounted (/root/reference)",
+)
+
 
 class TestTDLambda:
     def test_matches_reference(self):
-        import torch
+        torch = pytest.importorskip("torch")
         from common.utils import td_lambda_target as ref_td
 
         rs = np.random.RandomState(0)
