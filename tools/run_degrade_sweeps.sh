@@ -1,8 +1,13 @@
 #!/bin/bash
-# Rerun the three parity degradation sweeps so the committed DegreData dirs
-# carry usage.npy (measured actuations) — VERDICT r3 item #8.  Same models,
-# seeds and protocol as the committed artifacts (deterministic: PRNGKey from
-# --seed), so success/steps/health must reproduce exactly; usage.npy is new.
+# Regenerate the three PARITY degradation sweeps (the reference's committed
+# DegreData configs) on the CPU platform — the deterministic platform the
+# committed artifacts are pinned to (see artifacts/README.md provenance).
+#
+# Stage the policy checkpoints first (the sweeps are deterministic given
+# policy + seed 12 (config default) + platform, so reruns must reproduce
+# the committed arrays bit-for-bit):
+#   data-deg4d/model/vdn/fov9/0_final_state   <- artifacts/dmfb_10x10_4d_fov9_vdn
+#   data-deg10d/model/vdn/fov9/0_final_state  <- artifacts/dmfb_20x20_10d_fov9_vdn
 set -e
 cd /root/repo
 export JAX_PLATFORMS=cpu
