@@ -32,6 +32,8 @@ SEED_DIRS = {
     15: "data-meda-4d-4m-s15",
     16: "data-meda-4d-4m-s16",
     17: "data-meda-4d-4m-s17",
+    18: "data-meda-4d-4m-s18",
+    19: "data-meda-4d-4m-s19",
 }
 CURVE = ("TrainResult/vdn/fov19/30by60-4d0b/"
          "vdn_env(30,60,4,0,19,True)success_rate_0.npy")
@@ -59,7 +61,14 @@ def main(argv=None):
     seeds = [int(a) for a in argv] or [
         s for s, d in SEED_DIRS.items()
         if os.path.exists(os.path.join(ROOT, d, CURVE))
+        # curves are written DURING training; only completed runs count
+        and os.path.isdir(os.path.join(
+            ROOT, d, "model", "vdn", "fov19", "0_final_state"))
     ]
+    prior = {}
+    if os.path.exists(OUT):  # incremental: keep seeds evaluated earlier
+        with open(OUT) as f:
+            prior = json.load(f).get("seeds", {})
     study = {"config": "meda 30x60-4d fov19 vdn, stretched-decay 4M recipe",
              "recipe": ("python train.py meda --drop_num=4 "
                         "--n_parallel_envs=64 --lr_decay --param_ema=0.999 "
@@ -69,8 +78,13 @@ def main(argv=None):
                                "checkpoint (EMA deploy params) on 100 fresh "
                                "tasks via evaluate.py, CPU platform, eval "
                                "seed 12 (same task draw for every policy)"),
-             "quality_bar": 0.96, "seeds": {}}
+             "quality_bar": 0.96, "seeds": dict(prior)}
     for s in seeds:
+        if str(s) in prior:
+            v = prior[str(s)]
+            print(f"seed {s}: cached (independent "
+                  f"{v['independent_final_success']:.3f})", flush=True)
+            continue
         d = SEED_DIRS[s]
         curve = np.load(os.path.join(ROOT, d, CURVE))
         succ, steps = run_eval(d)
@@ -84,6 +98,7 @@ def main(argv=None):
         print(f"seed {s}: online final {curve[-1]:.3f} (max {curve.max():.3f})"
               f" | independent {succ:.3f} success, {steps:.1f} steps",
               flush=True)
+        _write(study)   # incremental: a crash never loses finished evals
     if do_boards:
         study["zero_shot_seed12"] = {}
         for w, l in ((45, 90), (60, 120)):
@@ -93,16 +108,20 @@ def main(argv=None):
                 "success": succ, "steps": steps, "n_tasks": 100}
             print(f"zero-shot {w}x{l}: {succ:.3f} success, {steps:.1f} steps",
                   flush=True)
+    _write(study)
+    print("wrote", OUT)
+
+
+def _write(study):
     finals = [v["independent_final_success"] for v in study["seeds"].values()]
     study["summary"] = {
         "n_seeds": len(finals),
         "n_independent_ge_0.96": int(sum(f >= 0.96 for f in finals)),
-        "independent_finals": finals,
+        "independent_finals": sorted(finals),
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(study, f, indent=1, sort_keys=True)
-    print("wrote", OUT)
 
 
 if __name__ == "__main__":
