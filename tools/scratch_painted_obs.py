@@ -102,18 +102,19 @@ def check():
         print(f"{w}x{l}-{n}d fov{fov}: painted == shipped (exact)")
 
 
-def bench(B):
+def bench(B, w=10, n=4):
     from marl_dmfb_tpu.algos.qlearn import make_learner
     from marl_dmfb_tpu.config import Args
     from marl_dmfb_tpu.rollout import make_rollout
     from marl_dmfb_tpu.utils.benchmarking import timeit_chained
 
-    args = Args(name="dmfb", drop_num=4, fov=9, width=10, length=10,
+    args = Args(name="dmfb", drop_num=n, fov=9, width=w, length=w,
                 n_parallel_envs=B)
     args.apply_env_defaults()
     args.load_yaml()
-    env = make_env("dmfb", width=10, length=10, n_droplets=4, fov=9)
+    env = make_env("dmfb", width=w, length=w, n_droplets=n, fov=9)
     args.update_env_info(env.env_info())
+    print(f"config {w}x{w}-{n}d fov9, B={B}")
     init, _, net, _, _ = make_learner(args, env)
     theta = init(jax.random.PRNGKey(0)).params["agent"]
     states = jax.vmap(env.init)(jax.random.split(jax.random.PRNGKey(1), B))
@@ -140,4 +141,6 @@ if __name__ == "__main__":
     if mode == "check":
         check()
     else:
-        bench(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
+        bench(int(sys.argv[2]) if len(sys.argv) > 2 else 16384,
+              int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+              int(sys.argv[4]) if len(sys.argv) > 4 else 4)
